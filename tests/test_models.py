@@ -1,0 +1,128 @@
+"""Shape/dtype/invariant tests for fields, encoders, decoders (mirrors the
+reference's tests/test_models.py coverage, CPU-only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinynerf_tpu.models import (
+    ColorDecoder,
+    CobafaFeatureField,
+    KPlanesExplicitColorDecoder,
+    KPlanesExplicitOpacityDecoder,
+    KPlanesFeatureField,
+    OpacityDecoder,
+    VanillaFeatureField,
+    make_model,
+    posenc_dim,
+    positional_encoding,
+)
+from tinynerf_tpu.ops import sawtooth, truncated_exp
+
+KEY = jax.random.PRNGKey(0)
+X = jax.random.uniform(jax.random.PRNGKey(1), (100, 3), minval=-1.0, maxval=1.0)
+DIRS = X / jnp.linalg.norm(X, axis=-1, keepdims=True)
+
+
+def _check_combo(field, n=100):
+    params_f = field.init(KEY)
+    feats = field.apply(params_f, X)
+    assert feats.shape == (n, field.feature_dim)
+
+    sigma_dec = OpacityDecoder(field.feature_dim)
+    sigma = sigma_dec.apply(sigma_dec.init(KEY), feats)
+    assert sigma.shape == (n,)
+    assert bool(jnp.all(sigma >= 0))
+
+    rgb_dec = ColorDecoder(8, field.feature_dim, 64, 3)
+    rgb = rgb_dec.apply(rgb_dec.init(KEY), feats, DIRS)
+    assert rgb.shape == (n, 3)
+    assert bool(jnp.all((rgb >= 0) & (rgb <= 1)))
+
+
+def test_vanilla_combo():
+    _check_combo(VanillaFeatureField(10, 256, 8))
+
+
+def test_kplanes_combo():
+    _check_combo(KPlanesFeatureField())
+
+
+def test_cobafa_combo():
+    _check_combo(make_model("cobafa")[0])
+
+
+def test_posenc_shapes():
+    assert positional_encoding(X, 10).shape == (100, posenc_dim(3, 10))
+    x4 = jnp.ones((2, 5, 7, 3))
+    assert positional_encoding(x4, 4).shape == (2, 5, 7, 24)
+
+
+def test_posenc_values():
+    x = jnp.array([[0.5, 0.0, -0.25]])
+    enc = positional_encoding(x, 2)
+    # layout per coordinate: [sin(pi x), sin(2pi x), cos(pi x), cos(2pi x)]
+    np.testing.assert_allclose(float(enc[0, 0]), np.sin(np.pi * 0.5), atol=1e-6)
+    np.testing.assert_allclose(float(enc[0, 1]), np.sin(2 * np.pi * 0.5), atol=1e-6)
+    np.testing.assert_allclose(float(enc[0, 2]), np.cos(np.pi * 0.5), atol=1e-6)
+
+
+def test_truncated_exp_fwd_bwd():
+    x = jnp.array([-20.0, 0.0, 2.0, 20.0])
+    np.testing.assert_allclose(np.asarray(truncated_exp(x)), np.exp(np.asarray(x)), rtol=1e-6)
+    grads = jax.vmap(jax.grad(truncated_exp))(x)
+    expected = np.exp(np.clip(np.asarray(x), -15, 15))
+    np.testing.assert_allclose(np.asarray(grads), expected, rtol=1e-6)
+
+
+def test_kplanes_regularizers_nonnegative():
+    field = KPlanesFeatureField()
+    params = field.init(KEY)
+    assert float(field.loss_tv(params)) >= 0
+    assert float(field.loss_l1(params)) >= 0
+    # L1 of U(0,1) planes is ~0.5
+    assert 0.4 < float(field.loss_l1(params)) < 0.6
+
+
+def test_kplanes_explicit_decoders():
+    field = KPlanesFeatureField()
+    feats = field.apply(field.init(KEY), X)
+    op = KPlanesExplicitOpacityDecoder(field.feature_dim)
+    sigma = op.apply(op.init(KEY), feats)
+    assert sigma.shape == (100,)
+    assert bool(jnp.all(sigma >= 0))
+    col = KPlanesExplicitColorDecoder(field.feature_dim)
+    rgb = col.apply(col.init(KEY), feats, DIRS)
+    assert rgb.shape == (100, 3)
+    assert bool(jnp.all((rgb >= 0) & (rgb <= 1)))
+
+
+def test_sawtooth_range():
+    x = jnp.linspace(-2.0, 2.0, 101)
+    y = sawtooth(x, 3.0)
+    assert bool(jnp.all((y >= -1.0) & (y <= 1.0)))
+    # periodic with period 1/f
+    np.testing.assert_allclose(
+        np.asarray(sawtooth(x, 3.0)), np.asarray(sawtooth(x + 1.0 / 3.0, 3.0)), atol=1e-4
+    )
+
+
+def test_cobafa_dropout_modes():
+    field = make_model("cobafa")[0]
+    params = field.init(KEY)
+    eval_out = field.apply(params, X)
+    eval_out2 = field.apply(params, X)
+    np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(eval_out2))
+    train_out = field.apply(params, X, dropout_key=jax.random.PRNGKey(5))
+    assert train_out.shape == eval_out.shape
+
+
+def test_registry_dims():
+    for method, dim in (("vanilla", 256), ("kplanes", 96), ("cobafa", 128)):
+        field, sd, rd = make_model(method)
+        assert field.feature_dim == dim
+        assert sd.feature_dim == dim
+        assert rd.in_features == dim
+    with pytest.raises(NotImplementedError):
+        make_model("nope")

@@ -1,0 +1,119 @@
+"""Occupancy grid: Instant-NGP-style binary occupancy with decay.
+
+Parity: reference OccupancyGrid (src/core.py:93-156) — a float grid in
+contracted [-1,1]^3 space, initialized to 1 (everything occupied), updated by
+evaluating the density field at one jittered point per voxel:
+
+    alpha = 1 - exp(-sigma * step_size)
+    grid  = 1 if alpha > threshold else decay * grid
+
+with an adaptive threshold min(base_threshold, grid.mean()), and queried by
+trilinear interpolation > threshold.
+
+TPU redesign vs the reference:
+  * the grid is explicit, immutable carried STATE of the train loop (an
+    `OccupancyState` pytree), not a mutated module buffer — so the update is
+    a pure jitted function and composes with pjit/shard_map;
+  * the update is chunked with `lax.map` over x-slices (bounds peak memory
+    exactly like the reference's z-slice loop, src/core.py:136, but stays one
+    compiled program);
+  * the grid is stored [r0,r1,r2] indexed directly by (x,y,z) — the
+    reference's [depth,height,width] storage + coordinate flip
+    (src/core.py:117-119) is a torch-layout artifact, not replicated;
+  * `mean` lives in the state so `threshold` is a traced value (the
+    reference recomputes it host-side per update).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.interp import trilinear_lookup
+
+
+class OccupancyState(NamedTuple):
+    grid: jax.Array  # [r0, r1, r2] float32
+    mean: jax.Array  # scalar float32, grid.mean() after the last update
+
+
+@dataclass(frozen=True)
+class OccupancyGrid:
+    size: Tuple[int, int, int]
+    step_size: float
+    threshold: float = 0.01
+    decay: float = 0.95
+
+    @staticmethod
+    def cube(res: int, step_size: float, threshold: float = 0.01, decay: float = 0.95):
+        return OccupancyGrid((res, res, res), step_size, threshold, decay)
+
+    def init_state(self) -> OccupancyState:
+        return OccupancyState(
+            grid=jnp.ones(self.size, dtype=jnp.float32),
+            mean=jnp.float32(1.0),
+        )
+
+    def _threshold(self, state: OccupancyState) -> jax.Array:
+        return jnp.minimum(jnp.float32(self.threshold), state.mean)
+
+    def occupancy(self, state: OccupancyState) -> jax.Array:
+        """Fraction of voxels considered occupied (scalar, traced)."""
+        thr = self._threshold(state)
+        return jnp.mean((state.grid > thr).astype(jnp.float32))
+
+    def update(
+        self,
+        state: OccupancyState,
+        sigma_fn: Callable[[jax.Array], jax.Array],
+        key: jax.Array,
+    ) -> OccupancyState:
+        """One decay/confirm sweep: evaluate sigma at a jittered point per voxel.
+
+        `sigma_fn`: [n, 3] contracted coords in [-1,1] -> [n] densities.
+        Jittable; chunked over x-slices to bound field-eval memory.
+        """
+        r0, r1, r2 = self.size
+        thr = self._threshold(state)
+        size_f = jnp.array(self.size, dtype=jnp.float32)
+
+        yz = jnp.stack(
+            jnp.meshgrid(
+                jnp.arange(r1, dtype=jnp.float32),
+                jnp.arange(r2, dtype=jnp.float32),
+                indexing="ij",
+            ),
+            axis=-1,
+        )  # [r1, r2, 2]
+
+        keys = jax.random.split(key, r0)
+
+        def slice_update(args):
+            i, k, grid_slice = args
+            jitter = jax.random.uniform(k, (r1, r2, 3))
+            idx = jnp.concatenate(
+                [jnp.broadcast_to(i.astype(jnp.float32), (r1, r2))[..., None], yz],
+                axis=-1,
+            )  # [r1, r2, 3] voxel indices (x, y, z)
+            coords = -1.0 + 2.0 * (idx + jitter) / size_f
+            sigma = sigma_fn(coords.reshape(-1, 3)).reshape(r1, r2)
+            alpha = 1.0 - jnp.exp(-sigma * self.step_size)
+            return jnp.where(alpha > thr, 1.0, self.decay * grid_slice)
+
+        new_grid = jax.lax.map(
+            slice_update, (jnp.arange(r0), keys, state.grid)
+        )
+        return OccupancyState(grid=new_grid, mean=jnp.mean(new_grid))
+
+    def query(self, state: OccupancyState, coords: jax.Array) -> jax.Array:
+        """coords: [..., 3] in [-1,1] -> float32 mask (1.0 = occupied).
+
+        Trilinear interpolation of the float grid against the adaptive
+        threshold, align_corners semantics (reference src/core.py:147-156).
+        """
+        thr = self._threshold(state)
+        vals = trilinear_lookup(state.grid[..., None], coords)[..., 0]
+        return (vals > thr).astype(jnp.float32)

@@ -1,0 +1,212 @@
+"""Volumetric renderer: field + decoders + marcher + contraction + occupancy.
+
+Capability parity with the reference's RayProvider + NerfRenderer
+(src/core.py:158-267): march rays, jitter at train time, contract, cull by
+occupancy, evaluate the field, compute transmittance weights, decode color
+for surviving samples, alpha-composite per ray, and composite over an
+optional background color.
+
+TPU redesign — the central design decision of this framework (SURVEY.md §2
+#11): the reference packs surviving samples into a DYNAMICALLY-sized ragged
+array, which is hostile to XLA.  Here there are two static-shape paths:
+
+  * `render_dense` — the [n_rays, n_samples] grid with a validity mask.  No
+    compaction; every sample is evaluated.  Simple, fully fused by XLA; used
+    for eval chunks and as the semantic reference.
+
+  * `render_packed` — fixed-CAPACITY compaction.  Valid samples (in-box AND
+    occupied) are gathered, in ray-major order, into a [cap] flat buffer via
+    `jnp.nonzero(..., size=cap)`; the expensive field/decoder MLPs run only
+    on those `cap` samples (constant FLOPs per step — the same goal as the
+    reference's dynamic constant-sample batching, src/run.py:205-244, but
+    with shapes the compiler can tile onto the MXU).  Densities are scattered
+    back to the dense grid for the per-ray transmittance scan, and weighted
+    colors are reduced per-ray with a segment-sum (the reference's
+    index_add_, src/core.py:256-259).  Rays whose samples did not all fit in
+    the buffer are flagged invalid so the loss can exclude them.
+
+Rays with zero valid samples render the background color and stay valid —
+matching the reference, where empty rays legitimately supervise toward bg.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..models.cobafa import CobafaFeatureField
+from ..ops.weights import compute_weights
+from ..ops.weights_pallas import compute_weights_pallas
+from .contraction import ContractionAABB, ContractionMip360
+from .marching import RayMarcherAABB, RayMarcherUnbounded
+from .occupancy import OccupancyGrid, OccupancyState
+
+
+class RenderOutput(NamedTuple):
+    rgb: jax.Array        # [n_rays, 3] composited colors
+    opacity: jax.Array    # [n_rays] sum of weights
+    ray_valid: jax.Array  # [n_rays] float32; 0 where the packed buffer overflowed
+    n_samples: jax.Array  # scalar int32: valid samples this batch (fill metric)
+
+
+@dataclass(frozen=True)
+class NerfRenderer:
+    field: Any
+    sigma_decoder: Any
+    rgb_decoder: Any
+    marcher: Union[RayMarcherAABB, RayMarcherUnbounded]
+    contraction: Union[ContractionAABB, ContractionMip360]
+    occupancy: Optional[OccupancyGrid] = None
+    bg_color: Optional[Tuple[float, float, float]] = None
+    early_termination: float = 1e-4
+    compute_dtype: Any = jnp.float32
+    # "auto" = Pallas kernel on TPU, jnp scan elsewhere; "jnp" / "pallas" force
+    weights_impl: str = "auto"
+
+    # ---------------------------------------------------------------- params
+
+    def init(self, key: jax.Array) -> dict:
+        kf, ks, kr = jax.random.split(key, 3)
+        return {
+            "field": self.field.init(kf),
+            "sigma": self.sigma_decoder.init(ks),
+            "rgb": self.rgb_decoder.init(kr),
+        }
+
+    # ------------------------------------------------------------- sub-fns
+
+    def _field_apply(self, params, x, dropout_key=None):
+        if isinstance(self.field, CobafaFeatureField):
+            return self.field.apply(
+                params["field"], x, self.compute_dtype, dropout_key=dropout_key
+            )
+        return self.field.apply(params["field"], x, self.compute_dtype)
+
+    def _weights(self, sigmas, deltas, maskf):
+        impl = self.weights_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if impl == "pallas":
+            return compute_weights_pallas(sigmas, deltas, maskf, self.early_termination)
+        return compute_weights(sigmas, deltas, maskf, self.early_termination)
+
+    def sigma_fn(self, params, x: jax.Array) -> jax.Array:
+        """Density at contracted coords [n,3] -> [n]; feeds occupancy updates."""
+        feats = self._field_apply(params, x)
+        return self.sigma_decoder.apply(params["sigma"], feats, self.compute_dtype)
+
+    def _march(self, rays_o, rays_d, occ_state, key):
+        """Shared front half: sample positions + validity mask. No grads."""
+        t, deltas = self.marcher(rays_o, rays_d)
+        if key is not None:
+            jkey = jax.random.fold_in(key, 0)
+            t = t + jax.random.uniform(jkey, t.shape, t.dtype) * deltas
+        pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+        cpos, maskf = self.contraction(pos)
+        if self.occupancy is not None and occ_state is not None:
+            maskf = maskf * self.occupancy.query(occ_state, cpos)
+        return cpos, deltas, maskf
+
+    def _composite(self, weighted_rgb_sum, opacity):
+        if self.bg_color is not None:
+            bg = jnp.array(self.bg_color, dtype=jnp.float32)
+            return weighted_rgb_sum + bg * (1.0 - opacity[..., None])
+        return weighted_rgb_sum
+
+    # ---------------------------------------------------------- dense path
+
+    def render_dense(
+        self,
+        params: dict,
+        occ_state: Optional[OccupancyState],
+        rays_o: jax.Array,
+        rays_d: jax.Array,
+        key: Optional[jax.Array] = None,
+    ) -> RenderOutput:
+        cpos, deltas, maskf = self._march(rays_o, rays_d, occ_state, key)
+        dkey = jax.random.fold_in(key, 1) if key is not None else None
+
+        feats = self._field_apply(params, cpos, dropout_key=dkey)
+        sigmas = self.sigma_decoder.apply(params["sigma"], feats, self.compute_dtype)
+        w = self._weights(sigmas, deltas, maskf)
+
+        dirs = jnp.broadcast_to(rays_d[:, None, :], cpos.shape)
+        rgbs = self.rgb_decoder.apply(params["rgb"], feats, dirs, self.compute_dtype)
+
+        acc_rgb = jnp.sum(w[..., None] * rgbs, axis=-2)
+        opacity = jnp.sum(w, axis=-1)
+        return RenderOutput(
+            rgb=self._composite(acc_rgb, opacity),
+            opacity=opacity,
+            ray_valid=jnp.ones(rays_o.shape[0], dtype=jnp.float32),
+            n_samples=jnp.sum(maskf).astype(jnp.int32),
+        )
+
+    # --------------------------------------------------------- packed path
+
+    def render_packed(
+        self,
+        params: dict,
+        occ_state: Optional[OccupancyState],
+        rays_o: jax.Array,
+        rays_d: jax.Array,
+        cap: int,
+        key: Optional[jax.Array] = None,
+    ) -> RenderOutput:
+        n_rays = rays_o.shape[0]
+        n_samples = self.marcher.n_samples
+        total = n_rays * n_samples
+
+        cpos, deltas, maskf = self._march(rays_o, rays_d, occ_state, key)
+        dkey = jax.random.fold_in(key, 1) if key is not None else None
+        maskb = maskf > 0.0
+
+        # --- compaction: first `cap` valid samples, ray-major order
+        (valid_idx,) = jnp.nonzero(maskb.reshape(-1), size=cap, fill_value=total)
+        is_pad = valid_idx >= total
+        safe_idx = jnp.where(is_pad, 0, valid_idx)
+        seg_ids = jnp.where(is_pad, n_rays, safe_idx // n_samples)
+
+        cpos_cap = cpos.reshape(total, 3)[safe_idx]
+        dirs_cap = rays_d[jnp.where(is_pad, 0, seg_ids)]
+
+        # --- expensive MLPs run on exactly `cap` samples
+        feats_cap = self._field_apply(params, cpos_cap, dropout_key=dkey)
+        sigma_cap = self.sigma_decoder.apply(params["sigma"], feats_cap, self.compute_dtype)
+
+        # --- transmittance scan in the dense layout (numerically local
+        # per-row cumsum); non-compacted positions keep sigma = 0 => alpha = 0
+        # => they contribute nothing, exactly the packed semantics.
+        sigma_dense = (
+            jnp.zeros(total, dtype=jnp.float32)
+            .at[valid_idx]
+            .set(jnp.where(is_pad, 0.0, sigma_cap), mode="drop")
+        )
+        w_dense = self._weights(
+            sigma_dense.reshape(n_rays, n_samples), deltas, maskf
+        )
+        w_cap = w_dense.reshape(total)[safe_idx] * (1.0 - is_pad.astype(jnp.float32))
+
+        rgbs_cap = self.rgb_decoder.apply(params["rgb"], feats_cap, dirs_cap, self.compute_dtype)
+
+        # --- per-ray reduction (the reference's index_add_, as a segment sum;
+        # pad rows land in segment n_rays and are sliced away)
+        acc_rgb = jax.ops.segment_sum(
+            w_cap[:, None] * rgbs_cap, seg_ids, num_segments=n_rays + 1
+        )[:n_rays]
+        opacity = jax.ops.segment_sum(w_cap, seg_ids, num_segments=n_rays + 1)[:n_rays]
+
+        # --- rays whose samples spilled past `cap` are excluded from loss
+        counts = jnp.sum(maskb, axis=-1)
+        ends = jnp.cumsum(counts)
+        ray_valid = (ends <= cap).astype(jnp.float32)
+
+        return RenderOutput(
+            rgb=self._composite(acc_rgb, opacity),
+            opacity=opacity,
+            ray_valid=ray_valid,
+            n_samples=jnp.minimum(jnp.sum(counts), cap).astype(jnp.int32),
+        )

@@ -1,0 +1,86 @@
+"""Cobafa field: cosine/periodic basis factorization (arXiv 2302.01226).
+
+Parity (reference src/models.py:209-266): L basis grids of increasing
+resolution, each queried at sawtooth-tiled coordinates sawtooth_f(x) and
+scaled by channel i of a trilinearly-interpolated coefficient grid; the
+concatenated features pass through Dropout(p=0.01) and an MLP with 5 hidden
+layers whose width is the field's feature_dim.
+
+train() config (reference src/run.py:141-147): basis_res = linspace(32,128,6)
+rounded to int, coef_res = 64, freqs = linspace(2,8,6), channels
+[8,8,8,4,4,4], mlp_hidden_dim = 128.
+
+Grids are stored feature-last ([r,r,r,C]) for row-gather trilinear lookups.
+Dropout is a pure function of an explicit rng key (train mode only); eval is
+the identity, matching torch semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.interp import sawtooth, trilinear_lookup
+from .mlp import mlp_apply, mlp_init
+
+
+@dataclass(frozen=True)
+class CobafaFeatureField:
+    basis_res: Tuple[int, ...] = (32, 51, 70, 89, 108, 128)
+    coef_res: int = 64
+    freqs: Tuple[float, ...] = (2.0, 3.2, 4.4, 5.6, 6.8, 8.0)
+    channels: Tuple[int, ...] = (8, 8, 8, 4, 4, 4)
+    mlp_hidden_dim: int = 128
+    dropout_p: float = 0.01
+
+    def __post_init__(self):
+        assert len(self.basis_res) == len(self.freqs) == len(self.channels)
+
+    @property
+    def feature_dim(self) -> int:
+        return self.mlp_hidden_dim
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.basis_res)
+
+    def init(self, key: jax.Array):
+        keys = jax.random.split(key, self.n_levels + 2)
+        basis = [
+            jax.random.uniform(keys[i], (r, r, r, c), jnp.float32)
+            for i, (r, c) in enumerate(zip(self.basis_res, self.channels))
+        ]
+        coef = jax.random.uniform(
+            keys[self.n_levels],
+            (self.coef_res, self.coef_res, self.coef_res, self.n_levels),
+            jnp.float32,
+        )
+        mlp = mlp_init(keys[self.n_levels + 1], sum(self.channels), self.mlp_hidden_dim, 5)
+        return {"basis": basis, "coef": coef, "mlp": mlp}
+
+    def apply(
+        self,
+        params,
+        x: jax.Array,
+        compute_dtype=jnp.float32,
+        dropout_key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """x: [..., 3] in [-1,1] -> [..., feature_dim].
+
+        `dropout_key` enables train-mode dropout; None = eval (identity).
+        """
+        coefs = trilinear_lookup(params["coef"], x)  # [..., L]
+        feats = []
+        for i, (f, basis) in enumerate(zip(self.freqs, params["basis"])):
+            y = trilinear_lookup(basis, sawtooth(x, f)) * coefs[..., i : i + 1]
+            feats.append(y)
+        features = jnp.concatenate(feats, axis=-1)
+        if dropout_key is not None and self.dropout_p > 0.0:
+            keep = jax.random.bernoulli(
+                dropout_key, 1.0 - self.dropout_p, features.shape
+            )
+            features = jnp.where(keep, features / (1.0 - self.dropout_p), 0.0)
+        return mlp_apply(params["mlp"], features, compute_dtype)

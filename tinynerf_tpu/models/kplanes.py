@@ -1,0 +1,130 @@
+"""K-Planes feature field (arXiv 2301.10241).
+
+Parity (reference src/models.py:93-205):
+  * 3 scales x 3 axis-aligned planes (xy/xz/yz) at 128^2 / 256^2 / 512^2,
+    feature dim 32 per plane, init U(0, 1);
+  * per scale, the field value is the PRODUCT of the three bilinear plane
+    lookups; scales are concatenated => feature_dim = 32 * 3 = 96.
+    (The reference hardcodes feature_dim = 32 * n_scales regardless of its
+    constructor arg — SURVEY.md §2 #20; here the dim is derived correctly.)
+  * TV regularizer: mean squared difference of axis-shifted plane entries,
+    averaged over all planes; L1 regularizer: mean |plane|, averaged.
+  * The explicit (feature-bilinear) opacity/color decoders are provided for
+    API parity although train() wires the vanilla decoders for K-Planes too.
+
+TPU note: planes are stored feature-LAST ([r, r, 32]) so each bilinear corner
+fetch is one contiguous 32-float row gather (see ops/interp.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.interp import bilinear_lookup
+from ..ops.trunc_exp import truncated_exp
+from .encodings import posenc_dim, positional_encoding
+from .mlp import linear_apply, linear_init, mlp_apply, mlp_init
+
+# coordinate pairs used per plane, in order: (x,y), (x,z), (y,z)
+DIMENSION_PAIRS: Tuple[Tuple[int, int], ...] = ((0, 1), (0, 2), (1, 2))
+
+
+@dataclass(frozen=True)
+class KPlanesFeatureField:
+    feature_dim_per_plane: int = 32
+    resolutions: Tuple[int, ...] = (128, 256, 512)
+
+    @property
+    def feature_dim(self) -> int:
+        return self.feature_dim_per_plane * len(self.resolutions)
+
+    def init(self, key: jax.Array):
+        keys = jax.random.split(key, len(self.resolutions) * len(DIMENSION_PAIRS))
+        planes = []
+        ki = 0
+        for res in self.resolutions:
+            scale_planes = []
+            for _ in DIMENSION_PAIRS:
+                scale_planes.append(
+                    jax.random.uniform(
+                        keys[ki], (res, res, self.feature_dim_per_plane), jnp.float32
+                    )
+                )
+                ki += 1
+            planes.append(scale_planes)
+        return {"planes": planes}
+
+    def apply(self, params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+        """x: [..., 3] in [-1,1] -> [..., feature_dim]."""
+        features = []
+        for scale_planes in params["planes"]:
+            acc = None
+            for (i, j), plane in zip(DIMENSION_PAIRS, scale_planes):
+                v = bilinear_lookup(plane, x[..., jnp.array((i, j))])
+                acc = v if acc is None else acc * v
+            features.append(acc)
+        return jnp.concatenate(features, axis=-1).astype(compute_dtype)
+
+    def loss_tv(self, params) -> jax.Array:
+        """Total-variation penalty, averaged over all planes."""
+        total = jnp.float32(0.0)
+        count = 0
+        for scale_planes in params["planes"]:
+            for plane in scale_planes:
+                tv0 = jnp.mean((plane[1:, :, :] - plane[:-1, :, :]) ** 2)
+                tv1 = jnp.mean((plane[:, 1:, :] - plane[:, :-1, :]) ** 2)
+                total = total + tv0 + tv1
+                count += 1
+        return total / count
+
+    def loss_l1(self, params) -> jax.Array:
+        total = jnp.float32(0.0)
+        count = 0
+        for scale_planes in params["planes"]:
+            for plane in scale_planes:
+                total = total + jnp.mean(jnp.abs(plane))
+                count += 1
+        return total / count
+
+
+@dataclass(frozen=True)
+class KPlanesExplicitOpacityDecoder:
+    """sigma = truncated_exp(<f, W f + b> - 1) — a learned bilinear form."""
+
+    feature_dim: int
+
+    def init(self, key: jax.Array):
+        return {"linear": linear_init(key, self.feature_dim, self.feature_dim)}
+
+    def apply(self, params, features: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+        y = linear_apply(params["linear"], features, compute_dtype)
+        x = jnp.sum(features.astype(compute_dtype) * y, axis=-1)
+        return truncated_exp(x.astype(jnp.float32) - 1.0)
+
+
+@dataclass(frozen=True)
+class KPlanesExplicitColorDecoder:
+    """rgb = sigmoid(<features, basis(dirs, features)>) with a learned [3, F] basis."""
+
+    feature_dim: int
+    n_freqs: int = 8
+    hidden_dim: int = 128
+
+    def init(self, key: jax.Array):
+        in_dim = self.feature_dim + posenc_dim(3, self.n_freqs) + 3
+        return {"mlp": mlp_init(key, in_dim, self.hidden_dim, 3, 3 * self.feature_dim)}
+
+    def apply(
+        self, params, features: jax.Array, rays_d: jax.Array, compute_dtype=jnp.float32
+    ) -> jax.Array:
+        x = jnp.concatenate(
+            [positional_encoding(rays_d, self.n_freqs), rays_d, features], axis=-1
+        )
+        basis = mlp_apply(params["mlp"], x, compute_dtype)
+        basis = basis.reshape(*features.shape[:-1], 3, self.feature_dim)
+        out = jnp.sum(features[..., None, :].astype(compute_dtype) * basis, axis=-1)
+        return jax.nn.sigmoid(out.astype(jnp.float32))

@@ -1,0 +1,67 @@
+"""Plain MLP as pure functions over pytree params.
+
+Capability parity with the reference MLP (src/models.py:7-28): an
+in -> hidden x (1 + hidden_layers) -> out ReLU stack with no activation on the
+output layer.  Initialization matches torch.nn.Linear's default
+(kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+weights and biases) so training dynamics are comparable at fp32.
+
+TPU notes: `apply` accepts a `compute_dtype` — params stay fp32 masters and
+are cast per-matmul, so the whole stack runs on the MXU in bf16 when enabled.
+Weights are stored [in, out] (activations @ W), the natural layout for XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def linear_init(key: jax.Array, in_features: int, out_features: int) -> dict:
+    bound = 1.0 / jnp.sqrt(jnp.float32(in_features))
+    wkey, bkey = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(
+            wkey, (in_features, out_features), jnp.float32, -bound, bound
+        ),
+        "b": jax.random.uniform(bkey, (out_features,), jnp.float32, -bound, bound),
+    }
+
+
+def linear_apply(params: dict, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+    w = params["w"].astype(compute_dtype)
+    b = params["b"].astype(compute_dtype)
+    return jnp.dot(x.astype(compute_dtype), w, preferred_element_type=compute_dtype) + b
+
+
+def mlp_init(
+    key: jax.Array,
+    in_features: int,
+    hidden_features: int,
+    hidden_layers: int,
+    out_features: Optional[int] = None,
+) -> List[dict]:
+    """Layer list: in->hidden, then `hidden_layers` x hidden->hidden, then
+    hidden->out (out defaults to hidden, as in the reference)."""
+    out_features = out_features if out_features is not None else hidden_features
+    dims = (
+        [in_features]
+        + [hidden_features] * (1 + hidden_layers)
+        + [out_features]
+    )
+    keys = jax.random.split(key, len(dims) - 1)
+    return [
+        linear_init(k, d_in, d_out)
+        for k, d_in, d_out in zip(keys, dims[:-1], dims[1:])
+    ]
+
+
+def mlp_apply(
+    params: List[dict], x: jax.Array, compute_dtype=jnp.float32
+) -> jax.Array:
+    """ReLU between layers, identity on the output layer."""
+    for layer in params[:-1]:
+        x = jax.nn.relu(linear_apply(layer, x, compute_dtype))
+    return linear_apply(params[-1], x, compute_dtype)

@@ -1,0 +1,86 @@
+"""Vanilla NeRF field + the shared sigma/color decoders.
+
+Parity (reference src/models.py:59-89):
+  * VanillaFeatureField:  posenc(n_freqs) -> MLP(hidden, layers); feature_dim
+    = hidden_features.  train() config (10, 256, 8).
+  * OpacityDecoder: MLP(dim -> 64 -> 1, no extra hidden) then
+    truncated_exp(x - 1) => sigma >= 0.  Used by ALL three methods.
+  * ColorDecoder: concat(posenc(d), d, features) -> MLP -> sigmoid.
+    train() config (8, dim, 64, 3) for all methods.
+
+Each module is a frozen dataclass of STATIC config with pure `init`/`apply`
+(params are plain pytrees), so a renderer closing over these modules jits
+cleanly and shards with pjit/shard_map.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.trunc_exp import truncated_exp
+from .encodings import posenc_dim, positional_encoding
+from .mlp import mlp_apply, mlp_init
+
+
+@dataclass(frozen=True)
+class VanillaFeatureField:
+    n_freqs: int = 10
+    hidden_features: int = 256
+    hidden_layers: int = 8
+
+    @property
+    def feature_dim(self) -> int:
+        return self.hidden_features
+
+    def init(self, key: jax.Array):
+        return {
+            "mlp": mlp_init(
+                key,
+                posenc_dim(3, self.n_freqs),
+                self.hidden_features,
+                self.hidden_layers,
+            )
+        }
+
+    def apply(self, params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+        enc = positional_encoding(x, self.n_freqs)
+        return mlp_apply(params["mlp"], enc, compute_dtype)
+
+
+@dataclass(frozen=True)
+class OpacityDecoder:
+    feature_dim: int
+    hidden_features: int = 64
+
+    def init(self, key: jax.Array):
+        return {"mlp": mlp_init(key, self.feature_dim, self.hidden_features, 0, 1)}
+
+    def apply(self, params, features: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+        """features: [..., F] -> sigma [...] (last dim squeezed)."""
+        x = mlp_apply(params["mlp"], features, compute_dtype)
+        return truncated_exp(x.astype(jnp.float32) - 1.0)[..., 0]
+
+
+@dataclass(frozen=True)
+class ColorDecoder:
+    n_freqs: int
+    in_features: int
+    hidden_features: int = 64
+    hidden_layers: int = 3
+
+    def init(self, key: jax.Array):
+        total = self.in_features + posenc_dim(3, self.n_freqs) + 3
+        return {"mlp": mlp_init(key, total, self.hidden_features, self.hidden_layers, 3)}
+
+    def apply(
+        self, params, features: jax.Array, rays_d: jax.Array, compute_dtype=jnp.float32
+    ) -> jax.Array:
+        """(features [..., F], dirs [..., 3]) -> rgb [..., 3] in (0, 1)."""
+        x = jnp.concatenate(
+            [positional_encoding(rays_d, self.n_freqs), rays_d, features], axis=-1
+        )
+        out = mlp_apply(params["mlp"], x, compute_dtype)
+        return jax.nn.sigmoid(out.astype(jnp.float32))

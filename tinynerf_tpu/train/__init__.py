@@ -1,0 +1,22 @@
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .config import TrainConfig
+from .loop import build_renderer, evaluate, infer, make_optimizer, make_train_step, train
+from .metrics import EvalMetrics, TrainMetrics, eval_metrics, psnr, ssim
+
+__all__ = [
+    "TrainConfig",
+    "train",
+    "infer",
+    "evaluate",
+    "build_renderer",
+    "make_optimizer",
+    "make_train_step",
+    "EvalMetrics",
+    "TrainMetrics",
+    "eval_metrics",
+    "psnr",
+    "ssim",
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_checkpoint",
+]

@@ -1,0 +1,87 @@
+"""Training configuration.
+
+Parity: TrainConfig (reference src/run.py:83-94) plus the hardcoded
+hyperparameters of the reference train() (src/run.py:100-114) surfaced as
+overridable fields, all scaled by the same bs_ratio = 4096 / batch_size rule.
+TPU-specific additions: compute dtype, the fixed sample-buffer capacity
+policy, and candidate-ray bucket multipliers (the static-shape counterpart of
+the reference's dynamic constant-sample batching).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+@dataclass
+class TrainConfig:
+    method: str = "kplanes"  # vanilla | kplanes | cobafa
+    scene_type: str = "aabb"  # aabb | unbounded
+    output: Path = Path("output")
+
+    batch_size: int = 2048  # target rays/step (defines the sample budget)
+    n_samples: int = 400  # marcher samples per ray
+
+    eval_every: Optional[int] = None
+    eval_n: Optional[int] = None
+
+    seed: int = 0
+
+    # ---- schedule (reference defaults; None = derive from bs_ratio)
+    steps: Optional[int] = None  # default 2048 * bs_ratio
+    occupancy_update_every: Optional[int] = None  # default 16 * bs_ratio
+    occupancy_res: int = 128
+    occupancy_threshold: float = 0.01
+    # decay: a voxel must be seen empty 16 times to die (0.01 ** (1/16))
+    occupancy_decay: Optional[float] = None
+
+    lr_init: float = 1e-2
+    adam_eps: float = 1e-15
+    weight_decay: float = 1e-5
+    tv_reg_alpha: float = 1e-4  # kplanes only
+    l1_reg_alpha: float = 0.0  # kplanes only
+    lr_milestones: Tuple[float, ...] = (0.5, 0.75, 5.0 / 6.0, 0.9)
+    lr_gamma: float = 0.33
+
+    aabb: Tuple[Tuple[float, float, float], Tuple[float, float, float]] = (
+        (-1.5, -1.5, -1.5),
+        (1.5, 1.5, 1.5),
+    )
+    near: float = 0.1
+
+    # ---- TPU-specific
+    compute_dtype: str = "float32"  # float32 | bfloat16 (MLP matmul dtype)
+    # candidate-ray bucket multipliers: per step the host picks the largest
+    # bucket whose expected sample demand fits the fixed cap; each bucket is
+    # one compiled program (static shapes)
+    ray_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)
+    early_termination: float = 1e-4
+    # checkpointing cadence (0 = only at the end); resume picks up latest
+    checkpoint_every: int = 0
+
+    @property
+    def bs_ratio(self) -> float:
+        return 4096.0 / self.batch_size
+
+    @property
+    def total_steps(self) -> int:
+        return self.steps if self.steps is not None else int(2048 * self.bs_ratio)
+
+    @property
+    def occ_update_every(self) -> int:
+        if self.occupancy_update_every is not None:
+            return self.occupancy_update_every
+        return max(1, int(16 * self.bs_ratio))
+
+    @property
+    def occ_decay(self) -> float:
+        if self.occupancy_decay is not None:
+            return self.occupancy_decay
+        return self.occupancy_threshold ** (1.0 / 16.0)
+
+    @property
+    def sample_cap(self) -> int:
+        """Fixed per-step sample budget = batch_size * n_samples."""
+        return self.batch_size * self.n_samples

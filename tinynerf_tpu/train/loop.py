@@ -1,0 +1,497 @@
+"""Training / inference / evaluation driver.
+
+Capability parity with the reference's run layer (src/run.py):
+  * train()  — same hyperparameter schedule (bs_ratio scaling rule, Adam
+    lr 1e-2 / eps 1e-15 / wd 1e-5, MultiStepLR x0.33 at {1/2, 3/4, 5/6,
+    9/10} of steps, TV/L1 regs for K-Planes, occupancy updates every
+    16*bs_ratio steps), same metric artifacts (metrics_train/eval/test.json,
+    rendered PNGs, final checkpoint).
+  * infer()  — full-image rendering in fixed ray chunks, PNG dumps.
+  * evaluate() — MSE/PSNR (+ real SSIM, which the reference never fills in).
+
+TPU redesign:
+  * ONE jitted train step: batch sampling (device-side gather from the
+    HBM-resident ray pool), marching, compaction, field+decoders, weights,
+    loss, grads, optimizer update — all fused; zero host<->device traffic in
+    the hot loop except scalar metrics fetched in batches.
+  * The reference's dynamic constant-sample batching (accumulate ray batches
+    until the packed sample count hits batch_size*n_samples, src/run.py:
+    205-244) becomes BUCKETED CANDIDATE BATCHING: the fixed sample buffer
+    keeps per-step FLOPs constant, and the host picks, from a small set of
+    precompiled candidate-ray sizes {1,2,4,8,16}x batch_size, the largest
+    whose expected demand (running average samples/ray, same estimator idea
+    as the reference's projected_size) fits the buffer.  Static shapes, no
+    recompiles beyond one per bucket.
+  * Data parallelism over rays: the step body runs under shard_map on a 1-D
+    mesh; each device samples rays from its local pool shard and compacts
+    locally; loss numerator/denominator and grads are psum'd over ICI.
+    Parameters, optimizer state and the occupancy grid are replicated.
+  * Checkpoint/resume of {params, opt state, occupancy state, step} — an
+    upgrade over the reference's save-only final state_dict.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core import (
+    ContractionAABB,
+    ContractionMip360,
+    NerfRenderer,
+    OccupancyGrid,
+    RayMarcherAABB,
+    RayMarcherUnbounded,
+)
+from ..data import PoseSet, RayPool
+from ..models import make_model
+from ..parallel import DATA_AXIS, make_mesh
+from ..utils import save_png
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .config import TrainConfig
+from .metrics import EvalMetrics, TrainMetrics, eval_metrics
+
+try:
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+    def tqdm(x=None, **kw):
+        return x if x is not None else _NullBar()
+
+
+# --------------------------------------------------------------------- setup
+
+
+def build_renderer(cfg: TrainConfig, scene_scale: float, bg_color) -> NerfRenderer:
+    """Wire field/decoders/marcher/contraction/occupancy from config
+    (reference wiring: src/run.py:130-182)."""
+    field, sigma_dec, rgb_dec = make_model(cfg.method)
+
+    if cfg.scene_type == "unbounded":
+        marcher = RayMarcherUnbounded(
+            n_samples=cfg.n_samples, near=cfg.near, far=1e5, uniform_range=scene_scale
+        )
+        contraction = ContractionMip360(order=float("inf"))
+    elif cfg.scene_type == "aabb":
+        marcher = RayMarcherAABB(cfg.aabb, n_samples=cfg.n_samples, near=cfg.near)
+        contraction = ContractionAABB(cfg.aabb)
+    else:
+        raise NotImplementedError(f"Unknown scene type {cfg.scene_type!r}.")
+
+    occupancy = OccupancyGrid.cube(
+        cfg.occupancy_res,
+        marcher.step_size,
+        threshold=cfg.occupancy_threshold,
+        decay=cfg.occ_decay,
+    )
+
+    return NerfRenderer(
+        field=field,
+        sigma_decoder=sigma_dec,
+        rgb_decoder=rgb_dec,
+        marcher=marcher,
+        contraction=contraction,
+        occupancy=occupancy,
+        bg_color=tuple(float(c) for c in bg_color) if bg_color is not None else None,
+        early_termination=cfg.early_termination,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+    )
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam + L2-in-grad weight decay + piecewise-constant LR schedule,
+    matching torch Adam(weight_decay=...) + MultiStepLR semantics."""
+    steps = cfg.total_steps
+    boundaries = {
+        max(1, int(m * steps)): cfg.lr_gamma for m in cfg.lr_milestones
+    }
+    schedule = optax.piecewise_constant_schedule(cfg.lr_init, boundaries)
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(eps=cfg.adam_eps),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+# ---------------------------------------------------------------- train step
+
+
+def make_train_step(
+    renderer: NerfRenderer,
+    optimizer: optax.GradientTransformation,
+    cfg: TrainConfig,
+    mesh: Mesh,
+    n_cand: int,
+):
+    """One compiled train step for a given candidate-ray count `n_cand`.
+
+    Returns fn(params, opt_state, occ_state, pool_o, pool_d, pool_rgb, key)
+    -> (params, opt_state, metrics-dict of replicated scalars).
+    """
+    n_dev = mesh.devices.size
+    assert n_cand % n_dev == 0, "candidate rays must divide the mesh"
+    local_cand = n_cand // n_dev
+    assert cfg.sample_cap % n_dev == 0
+    local_cap = cfg.sample_cap // n_dev
+
+    has_reg = cfg.method == "kplanes" and (
+        cfg.tv_reg_alpha != 0.0 or cfg.l1_reg_alpha != 0.0
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def data_grads(params, occ_state, pool_o, pool_d, pool_rgb, key):
+        ax = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, ax)
+        kbatch, krender = jax.random.split(key)
+        idx = jax.random.randint(kbatch, (local_cand,), 0, pool_o.shape[0])
+        rays_o, rays_d, rgbs = pool_o[idx], pool_d[idx], pool_rgb[idx]
+
+        def data_loss(p):
+            out = renderer.render_packed(
+                p, occ_state, rays_o, rays_d, local_cap, key=krender
+            )
+            per_ray_mse = jnp.mean((out.rgb - rgbs) ** 2, axis=-1)
+            num = jnp.sum(per_ray_mse * out.ray_valid)
+            den = jnp.sum(out.ray_valid)
+            return num, (den, out.n_samples.astype(jnp.float32))
+
+        (num, (den, n_filled)), grads = jax.value_and_grad(data_loss, has_aux=True)(
+            params
+        )
+        num = jax.lax.psum(num, DATA_AXIS)
+        den = jax.lax.psum(den, DATA_AXIS)
+        n_filled = jax.lax.psum(n_filled, DATA_AXIS)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        scale = 1.0 / jnp.maximum(den, 1.0)
+        loss = num * scale
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        return loss, grads, den, n_filled
+
+    def step(params, opt_state, occ_state, pool_o, pool_d, pool_rgb, key):
+        loss, grads, rays_used, n_filled = data_grads(
+            params, occ_state, pool_o, pool_d, pool_rgb, key
+        )
+
+        if has_reg:
+            def reg_fn(p):
+                r = cfg.tv_reg_alpha * renderer.field.loss_tv(p["field"])
+                if cfg.l1_reg_alpha != 0.0:
+                    r = r + cfg.l1_reg_alpha * renderer.field.loss_l1(p["field"])
+                return r
+
+            reg_val, reg_grads = jax.value_and_grad(reg_fn)(params)
+            loss = loss + reg_val
+            grads = jax.tree_util.tree_map(jnp.add, grads, reg_grads)
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": loss,
+            "rays_used": rays_used,
+            "fill": n_filled / cfg.sample_cap,
+        }
+        return params, opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_occupancy_update(renderer: NerfRenderer):
+    """Jitted occupancy sweep (replicated across the mesh)."""
+
+    def update(params, occ_state, key):
+        return renderer.occupancy.update(
+            occ_state, lambda x: renderer.sigma_fn(params, x), key
+        )
+
+    return jax.jit(update)
+
+
+# ------------------------------------------------------------------ inference
+
+
+def make_render_chunk(renderer: NerfRenderer):
+    def render_chunk(params, occ_state, rays_o, rays_d):
+        return renderer.render_dense(params, occ_state, rays_o, rays_d).rgb
+
+    return jax.jit(render_chunk)
+
+
+def infer(
+    renderer: NerfRenderer,
+    params,
+    occ_state,
+    dataset: PoseSet,
+    indices: Sequence[int],
+    folder: Path,
+    name: str,
+    chunk: int = 8192,
+    render_chunk_fn=None,
+) -> List[np.ndarray]:
+    """Render full images pose-by-pose in fixed-size ray chunks, save PNGs
+    `{name}_{i:04d}.png` (reference infer(), src/run.py:15-50)."""
+    if render_chunk_fn is None:
+        render_chunk_fn = make_render_chunk(renderer)
+    folder = Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+
+    rendered: List[np.ndarray] = []
+    for i in indices:
+        item = dataset[i]
+        K = dataset.img_intrinsics(i)
+        rays_o = np.asarray(item["rays_o"]).reshape(-1, 3)
+        rays_d = np.asarray(item["rays_d"]).reshape(-1, 3)
+        n = rays_o.shape[0]
+        n_pad = (-n) % chunk
+        if n_pad:
+            rays_o = np.concatenate([rays_o, np.zeros((n_pad, 3), np.float32)])
+            rays_d = np.concatenate(
+                [rays_d, np.tile(np.array([[0, 0, 1]], np.float32), (n_pad, 1))]
+            )
+        outs = []
+        for k in range(0, rays_o.shape[0], chunk):
+            rgb = render_chunk_fn(
+                params,
+                occ_state,
+                jnp.asarray(rays_o[k : k + chunk]),
+                jnp.asarray(rays_d[k : k + chunk]),
+            )
+            outs.append(np.asarray(rgb))
+        img = np.concatenate(outs)[:n].reshape(K.h, K.w, 3)
+        rendered.append(img)
+        save_png(img, folder / f"{name}_{i:04d}.png")
+    return rendered
+
+
+def evaluate(
+    dataset: PoseSet, rendered: List[np.ndarray], indices: Sequence[int]
+) -> List[EvalMetrics]:
+    assert dataset.rgbs is not None
+    return [
+        eval_metrics(img, np.asarray(dataset[i]["rgbs"]))
+        for i, img in zip(indices, rendered)
+    ]
+
+
+# ---------------------------------------------------------------------- train
+
+
+def _pad_pool(arr: np.ndarray, multiple: int) -> np.ndarray:
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr
+    return np.concatenate([arr, arr[:pad]])
+
+
+def train(
+    cfg: TrainConfig,
+    train_rays: RayPool,
+    eval_set: Optional[PoseSet] = None,
+    test_set: Optional[PoseSet] = None,
+    mesh: Optional[Mesh] = None,
+    resume: bool = False,
+) -> Dict[str, object]:
+    """Full training run; returns {params, occ_state, metrics...}."""
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    output = Path(cfg.output)
+    output.mkdir(parents=True, exist_ok=True)
+
+    steps = cfg.total_steps
+    renderer = build_renderer(
+        cfg,
+        scene_scale=train_rays.scene_scale,
+        bg_color=np.asarray(train_rays.bg_color) if train_rays.bg_color is not None else None,
+    )
+    optimizer = make_optimizer(cfg)
+
+    # ---- device-resident, mesh-sharded ray pool
+    pool_o, pool_d, pool_rgb = (np.asarray(a) for a in train_rays.arrays())
+    pool_o = _pad_pool(pool_o, n_dev)
+    pool_d = _pad_pool(pool_d, n_dev)
+    pool_rgb = _pad_pool(pool_rgb, n_dev)
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    pool_o = jax.device_put(pool_o, sh)
+    pool_d = jax.device_put(pool_d, sh)
+    pool_rgb = jax.device_put(pool_rgb, sh)
+
+    # ---- state init (or resume)
+    key = jax.random.PRNGKey(cfg.seed if cfg.seed else 0)
+    key, pkey = jax.random.split(key)
+    params = renderer.init(pkey)
+    opt_state = optimizer.init(params)
+    occ_state = renderer.occupancy.init_state()
+    start_step = 0
+
+    if resume:
+        ck = latest_checkpoint(output)
+        if ck is not None:
+            start_step, state = load_checkpoint(ck)
+            params, opt_state, occ_state = (
+                state["params"],
+                state["opt_state"],
+                state["occ_state"],
+            )
+            print(f"Resumed from {ck} at step {start_step}")
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    print(f"Using {cfg.method} with {n_params} parameters on {n_dev} device(s).")
+
+    # ---- per-bucket compiled steps (lazy)
+    steps_by_bucket: Dict[int, object] = {}
+
+    def get_step(bucket: int):
+        if bucket not in steps_by_bucket:
+            steps_by_bucket[bucket] = make_train_step(
+                renderer, optimizer, cfg, mesh, n_cand=bucket * cfg.batch_size
+            )
+        return steps_by_bucket[bucket]
+
+    occ_update = make_occupancy_update(renderer)
+    render_chunk_fn = make_render_chunk(renderer)
+
+    # ---- host loop
+    train_metrics: List[TrainMetrics] = []
+    eval_acc: List[EvalMetrics] = []
+    pending: List[Tuple] = []  # (loss, occ, fill, rays) device scalars
+    avg_samples_per_ray = float(cfg.n_samples)
+    max_bucket = max(cfg.ray_buckets)
+    eval_ptr = 0
+    t_start = time.perf_counter()
+    rays_total = 0.0
+
+    def flush_pending():
+        for dev_scalars in pending:
+            loss_v, occ_v, fill_v, rays_v = (float(x) for x in dev_scalars)
+            train_metrics.append(TrainMetrics(loss=loss_v, occupancy=occ_v))
+        pending.clear()
+
+    pbar = tqdm(range(start_step, steps))
+    for step_i in pbar:
+        key, kstep, kocc = jax.random.split(key, 3)
+
+        if step_i % cfg.occ_update_every == 0:
+            occ_state = occ_update(params, occ_state, kocc)
+
+        # pick the largest bucket whose expected demand fits the sample cap
+        want = cfg.sample_cap / max(avg_samples_per_ray, 1.0) / cfg.batch_size
+        bucket = 1
+        for b in sorted(cfg.ray_buckets):
+            if b <= want and b <= max_bucket:
+                bucket = b
+        step_fn = get_step(bucket)
+
+        params, opt_state, m = step_fn(
+            params, opt_state, occ_state, pool_o, pool_d, pool_rgb, kstep
+        )
+        occ_frac = renderer.occupancy.occupancy(occ_state)
+        pending.append((m["loss"], occ_frac, m["fill"], m["rays_used"]))
+        rays_total += bucket * cfg.batch_size
+
+        if len(pending) >= 64 or step_i == steps - 1:
+            # update the samples/ray estimator from the most recent step
+            fill_v = float(pending[-1][2])
+            rays_v = float(pending[-1][3])
+            if rays_v > 0:
+                avg_samples_per_ray = max(
+                    1.0, fill_v * cfg.sample_cap / rays_v
+                )
+            flush_pending()
+            if hasattr(pbar, "set_postfix") and train_metrics:
+                pbar.set_postfix(
+                    loss=train_metrics[-1].loss,
+                    occupancy=train_metrics[-1].occupancy,
+                    bucket=bucket,
+                )
+
+        if cfg.checkpoint_every and (step_i + 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(
+                output,
+                step_i + 1,
+                {"params": params, "opt_state": opt_state, "occ_state": occ_state},
+            )
+
+        if (
+            cfg.eval_every is not None
+            and cfg.eval_n is not None
+            and eval_set is not None
+            and step_i > 0
+            and step_i % cfg.eval_every == 0
+        ):
+            flush_pending()
+            indices = [
+                (eval_ptr + j) % len(eval_set) for j in range(cfg.eval_n)
+            ]
+            rendered = infer(
+                renderer, params, occ_state, eval_set, indices, output,
+                f"eval_{step_i}", chunk=cfg.batch_size,
+                render_chunk_fn=render_chunk_fn,
+            )
+            eval_acc.extend(evaluate(eval_set, rendered, indices))
+            eval_ptr += cfg.eval_n
+
+    flush_pending()
+    elapsed = time.perf_counter() - t_start
+    rays_per_sec_per_chip = rays_total / max(elapsed, 1e-9) / n_dev
+
+    # ---- final test render + artifacts
+    test_metrics: Optional[List[EvalMetrics]] = None
+    if test_set is not None:
+        indices = list(range(len(test_set)))
+        rendered = infer(
+            renderer, params, occ_state, test_set, indices, output, "test_full",
+            chunk=cfg.batch_size, render_chunk_fn=render_chunk_fn,
+        )
+        if test_set.rgbs is not None:
+            test_metrics = evaluate(test_set, rendered, indices)
+
+    save_checkpoint(
+        output, steps, {"params": params, "opt_state": opt_state, "occ_state": occ_state}
+    )
+
+    with open(output / "metrics_train.json", "w") as f:
+        json.dump([asdict(x) for x in train_metrics], f)
+    if eval_acc:
+        with open(output / "metrics_eval.json", "w") as f:
+            json.dump([asdict(x) for x in eval_acc], f)
+    if test_metrics:
+        with open(output / "metrics_test.json", "w") as f:
+            json.dump([asdict(x) for x in test_metrics], f)
+    with open(output / "throughput.json", "w") as f:
+        json.dump(
+            {
+                "rays_per_sec_per_chip": rays_per_sec_per_chip,
+                "elapsed_s": elapsed,
+                "steps": steps - start_step,
+                "n_devices": n_dev,
+            },
+            f,
+        )
+
+    return {
+        "params": params,
+        "occ_state": occ_state,
+        "renderer": renderer,
+        "train_metrics": train_metrics,
+        "eval_metrics": eval_acc,
+        "test_metrics": test_metrics,
+        "rays_per_sec_per_chip": rays_per_sec_per_chip,
+    }

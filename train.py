@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""CLI entry point — same surface as the reference's train.py (flags:
+--data --datatype --output --scene_type --method --batch_size --n_samples
+--eval/--eval_every/--eval_n; SEED env var; unique experiment directory
+{uuid8}_{method}_{scene}_{n_samples}), plus TPU extras (--dtype, --resume,
+--steps, --checkpoint_every).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import uuid
+from pathlib import Path
+
+from tinynerf_tpu.data import PoseSet, RayPool, parse_nerf_synthetic, parse_nerfstudio
+from tinynerf_tpu.train import TrainConfig, train
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        prog="tinynerf-tpu", description="Train a radiance field on TPU"
+    )
+    parser.add_argument("--data", type=str, required=True, help="path to the data folder")
+    parser.add_argument(
+        "--datatype", type=str, required=True, choices=["synthetic", "nerfstudio"]
+    )
+    parser.add_argument("--output", type=str, required=True, help="output folder")
+    parser.add_argument("--scene_type", type=str, default="aabb", choices=["aabb", "unbounded"])
+    parser.add_argument("--method", type=str, required=True, choices=["vanilla", "kplanes", "cobafa"])
+    parser.add_argument("--batch_size", type=int, default=2048)
+    parser.add_argument("--n_samples", type=int, default=400, help="samples per ray")
+    parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--eval_every", type=int, default=None)
+    parser.add_argument("--eval_n", type=int, default=1)
+    parser.add_argument("--steps", type=int, default=None, help="override step count")
+    parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--resume", action="store_true", help="resume from latest checkpoint in --output")
+    parser.add_argument("--checkpoint_every", type=int, default=0)
+    args = parser.parse_args()
+
+    seed = int(os.environ.get("SEED", 0))
+
+    data_path = Path(args.data)
+    if args.datatype == "synthetic":
+        train_rays = RayPool(parse_nerf_synthetic(data_path, "train"))
+        eval_set = PoseSet(parse_nerf_synthetic(data_path, "val"))
+        test_set = PoseSet(parse_nerf_synthetic(data_path, "test"))
+    elif args.datatype == "nerfstudio":
+        train_rays = RayPool(parse_nerfstudio(data_path, "train"))
+        eval_set = PoseSet(parse_nerfstudio(data_path, "val"))
+        test_set = PoseSet(parse_nerfstudio(data_path, "test"))
+    else:
+        raise NotImplementedError(args.datatype)
+
+    output = Path(args.output)
+    if args.resume:
+        experiment_dir = output  # resume in place
+    else:
+        while True:
+            exp_id = str(uuid.uuid4())[:8]
+            name = f"{exp_id}_{args.method}_{args.scene_type}_{args.n_samples}"
+            if not (output / name).is_dir():
+                break
+        experiment_dir = output / name
+        experiment_dir.mkdir(parents=True)
+
+    print(f"Experiment saved to {experiment_dir}")
+
+    cfg = TrainConfig(
+        method=args.method,
+        scene_type=args.scene_type,
+        output=experiment_dir,
+        batch_size=args.batch_size,
+        n_samples=args.n_samples,
+        eval_every=args.eval_every if args.eval or args.eval_every else None,
+        eval_n=args.eval_n,
+        steps=args.steps,
+        seed=seed,
+        compute_dtype=args.dtype,
+        checkpoint_every=args.checkpoint_every,
+    )
+    train(cfg, train_rays, eval_set, test_set, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()
