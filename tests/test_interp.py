@@ -1,0 +1,76 @@
+"""Mixed-precision lookup tests: bf16 forward gathers must approximate the
+f32 path, and the custom f32 scatter backward must match plain autodiff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinynerf_tpu.ops import (
+    bilinear_lookup,
+    bilinear_lookup_mixed,
+    trilinear_lookup,
+    trilinear_lookup_mixed,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_bilinear_mixed_close_to_f32():
+    table = jax.random.uniform(KEY, (32, 48, 8))
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (200, 2), minval=-1, maxval=1)
+    ref = bilinear_lookup(table, pts)
+    mixed = bilinear_lookup_mixed(table, pts, jnp.bfloat16)
+    # bf16 mantissa: ~3 decimal digits relative
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(ref), atol=2e-2)
+    # with an f32 "gather dtype" the mixed path is exact
+    exact = bilinear_lookup_mixed(table, pts, jnp.float32)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(ref), atol=1e-6)
+
+
+def test_bilinear_mixed_backward_matches_autodiff():
+    table = jax.random.uniform(KEY, (16, 16, 4))
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (64, 2), minval=-1, maxval=1)
+    g = jax.random.normal(jax.random.PRNGKey(3), (64, 4))
+
+    grad_ref = jax.grad(lambda t: jnp.sum(bilinear_lookup(t, pts) * g))(table)
+    grad_mixed = jax.grad(
+        lambda t: jnp.sum(bilinear_lookup_mixed(t, pts, jnp.float32) * g)
+    )(table)
+    np.testing.assert_allclose(
+        np.asarray(grad_mixed), np.asarray(grad_ref), atol=1e-5
+    )
+    # bf16 forward still produces the same (f32, exact-weight) scatter backward
+    grad_bf = jax.grad(
+        lambda t: jnp.sum(bilinear_lookup_mixed(t, pts, jnp.bfloat16) * g)
+    )(table)
+    np.testing.assert_allclose(np.asarray(grad_bf), np.asarray(grad_ref), atol=1e-5)
+
+
+def test_trilinear_mixed_close_and_grads():
+    table = jax.random.uniform(KEY, (9, 9, 9, 4))
+    pts = jax.random.uniform(jax.random.PRNGKey(4), (100, 3), minval=-1, maxval=1)
+    ref = trilinear_lookup(table, pts)
+    mixed = trilinear_lookup_mixed(table, pts, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(ref), atol=2e-2)
+
+    g = jax.random.normal(jax.random.PRNGKey(5), (100, 4))
+    grad_ref = jax.grad(lambda t: jnp.sum(trilinear_lookup(t, pts) * g))(table)
+    grad_bf = jax.grad(
+        lambda t: jnp.sum(trilinear_lookup_mixed(t, pts, jnp.bfloat16) * g)
+    )(table)
+    np.testing.assert_allclose(np.asarray(grad_bf), np.asarray(grad_ref), atol=1e-5)
+
+
+def test_occupancy_nearest_vs_trilinear_agree_deep_inside():
+    """Away from voxel boundaries the two query modes agree."""
+    from tinynerf_tpu.core import OccupancyGrid
+
+    near = OccupancyGrid.cube(16, 0.1, interp="nearest")
+    tri = OccupancyGrid.cube(16, 0.1, interp="trilinear")
+    state = near.init_state()
+    grid = state.grid.at[:8].set(0.0)
+    state = state._replace(grid=grid, mean=jnp.mean(grid))
+    pts = jnp.array([[0.5, 0.3, -0.2], [-0.5, -0.3, 0.2], [0.9, 0.9, 0.9]])
+    np.testing.assert_array_equal(
+        np.asarray(near.query(state, pts)), np.asarray(tri.query(state, pts))
+    )

@@ -49,22 +49,30 @@ def parse_nerf_synthetic(
     with open(scene_path / f"transforms_{split}.json") as f_in:
         meta = json.load(f_in)
 
-    imgs: List[np.ndarray] = []
-    cameras: List[np.ndarray] = []
-    intrinsics: Optional[Intrinsics] = None
+    paths = [
+        (scene_path / frame["file_path"]).with_suffix(".png")
+        for frame in meta["frames"]
+    ]
+    cameras = [
+        np.array(frame["transform_matrix"], dtype=np.float32)
+        for frame in meta["frames"]
+    ]
 
-    for frame in meta["frames"]:
-        image_path = (scene_path / frame["file_path"]).with_suffix(".png")
-        img = _load_image_rgb(image_path, bg_color)
-        if intrinsics is None:
-            h, w = img.shape[:2]
-            camera_angle_x = float(meta["camera_angle_x"])
-            focal = w / (2.0 * np.tan(0.5 * camera_angle_x))
-            intrinsics = Intrinsics(focal, focal, w / 2.0, h / 2.0, w, h)
-        imgs.append(img)
-        cameras.append(np.array(frame["transform_matrix"], dtype=np.float32))
+    # fast path: the native C++ thread-pool loader (tinynerf_tpu/native)
+    from .. import native
 
-    assert intrinsics is not None, "empty dataset"
+    batch = native.load_images(paths, tuple(float(c) for c in bg))
+    if batch is not None:
+        imgs: List[np.ndarray] = list(batch)
+    else:  # pure-PIL fallback
+        imgs = [_load_image_rgb(p, bg_color) for p in paths]
+
+    if not imgs:
+        raise ValueError(f"empty dataset split {split!r} in {scene_path}")
+    h, w = imgs[0].shape[:2]
+    camera_angle_x = float(meta["camera_angle_x"])
+    focal = w / (2.0 * np.tan(0.5 * camera_angle_x))
+    intrinsics = Intrinsics(focal, focal, w / 2.0, h / 2.0, w, h)
     return NerfData(
         cameras=np.stack(cameras).astype(np.float32),
         intrinsics=intrinsics,

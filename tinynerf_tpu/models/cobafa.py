@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.interp import sawtooth, trilinear_lookup
+from ..ops.interp import sawtooth, trilinear_lookup, trilinear_lookup_mixed
 from .mlp import mlp_apply, mlp_init
 
 
@@ -35,6 +35,9 @@ class CobafaFeatureField:
     channels: Tuple[int, ...] = (8, 8, 8, 4, 4, 4)
     mlp_hidden_dim: int = 128
     dropout_p: float = 0.01
+    # see KPlanesFeatureField.gather_dtype / scatter_dtype
+    gather_dtype: str = "bfloat16"
+    scatter_dtype: str = "float32"
 
     def __post_init__(self):
         assert len(self.basis_res) == len(self.freqs) == len(self.channels)
@@ -72,10 +75,16 @@ class CobafaFeatureField:
 
         `dropout_key` enables train-mode dropout; None = eval (identity).
         """
-        coefs = trilinear_lookup(params["coef"], x)  # [..., L]
+        if self.gather_dtype == "bfloat16" or self.scatter_dtype == "bfloat16":
+            gd = jnp.bfloat16 if self.gather_dtype == "bfloat16" else jnp.float32
+            sd = jnp.bfloat16 if self.scatter_dtype == "bfloat16" else jnp.float32
+            lookup = lambda t, c: trilinear_lookup_mixed(t, c, gd, sd)
+        else:
+            lookup = trilinear_lookup
+        coefs = lookup(params["coef"], x)  # [..., L]
         feats = []
         for i, (f, basis) in enumerate(zip(self.freqs, params["basis"])):
-            y = trilinear_lookup(basis, sawtooth(x, f)) * coefs[..., i : i + 1]
+            y = lookup(basis, sawtooth(x, f)) * coefs[..., i : i + 1]
             feats.append(y)
         features = jnp.concatenate(feats, axis=-1)
         if dropout_key is not None and self.dropout_p > 0.0:

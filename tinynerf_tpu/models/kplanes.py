@@ -24,7 +24,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.interp import bilinear_lookup
+from ..ops.interp import bilinear_lookup, bilinear_lookup_mixed
 from ..ops.trunc_exp import truncated_exp
 from .encodings import posenc_dim, positional_encoding
 from .mlp import linear_apply, linear_init, mlp_apply, mlp_init
@@ -37,6 +37,13 @@ DIMENSION_PAIRS: Tuple[Tuple[int, int], ...] = ((0, 1), (0, 2), (1, 2))
 class KPlanesFeatureField:
     feature_dim_per_plane: int = 32
     resolutions: Tuple[int, ...] = (128, 256, 512)
+    # "bfloat16" halves forward gather bytes (the TPU bottleneck) while the
+    # backward scatter-add stays exact f32 (ops/interp.py mixed lookups);
+    # "float32" restores the plain autodiff path
+    gather_dtype: str = "bfloat16"
+    # backward scatter-add accumulation dtype; bf16 halves backward bytes at
+    # some gradient-precision cost (quality-validate before enabling)
+    scatter_dtype: str = "float32"
 
     @property
     def feature_dim(self) -> int:
@@ -60,11 +67,17 @@ class KPlanesFeatureField:
 
     def apply(self, params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
         """x: [..., 3] in [-1,1] -> [..., feature_dim]."""
+        if self.gather_dtype == "bfloat16" or self.scatter_dtype == "bfloat16":
+            gd = jnp.bfloat16 if self.gather_dtype == "bfloat16" else jnp.float32
+            sd = jnp.bfloat16 if self.scatter_dtype == "bfloat16" else jnp.float32
+            lookup = lambda p, c: bilinear_lookup_mixed(p, c, gd, sd)
+        else:
+            lookup = bilinear_lookup
         features = []
         for scale_planes in params["planes"]:
             acc = None
             for (i, j), plane in zip(DIMENSION_PAIRS, scale_planes):
-                v = bilinear_lookup(plane, x[..., jnp.array((i, j))])
+                v = lookup(plane, x[..., jnp.array((i, j))])
                 acc = v if acc is None else acc * v
             features.append(acc)
         return jnp.concatenate(features, axis=-1).astype(compute_dtype)

@@ -18,6 +18,8 @@ coord -1 maps to index 0, coord +1 maps to index (res - 1).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -28,73 +30,162 @@ def _to_index_space(c, res):
     return jnp.clip(x, 0.0, res - 1)
 
 
-def bilinear_lookup(table: jax.Array, coords: jax.Array) -> jax.Array:
-    """table: [r0, r1, F]; coords: [..., 2] in [-1,1] -> [..., F]."""
-    r0, r1, f = table.shape
-    flat = table.reshape(r0 * r1, f)
+def _corners_2d(coords, r0, r1):
+    """Corner flat indices + lerp weights for bilinear interpolation.
 
+    Returns (idx [...,4] int32, w [...,4] f32) over corners
+    (00, 01, 10, 11)."""
     x = _to_index_space(coords[..., 0], r0)
     y = _to_index_space(coords[..., 1], r1)
-
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, r0 - 1)
     y1 = jnp.minimum(y0 + 1, r1 - 1)
-    tx = (x - x0)[..., None]
-    ty = (y - y0)[..., None]
-
-    def fetch(ix, iy):
-        return jnp.take(flat, ix * r1 + iy, axis=0)
-
-    v00 = fetch(x0, y0)
-    v01 = fetch(x0, y1)
-    v10 = fetch(x1, y0)
-    v11 = fetch(x1, y1)
-
-    v0 = v00 + (v01 - v00) * ty
-    v1 = v10 + (v11 - v10) * ty
-    return v0 + (v1 - v0) * tx
+    tx = x - x0
+    ty = y - y0
+    idx = jnp.stack(
+        [x0 * r1 + y0, x0 * r1 + y1, x1 * r1 + y0, x1 * r1 + y1], axis=-1
+    )
+    w = jnp.stack(
+        [(1 - tx) * (1 - ty), (1 - tx) * ty, tx * (1 - ty), tx * ty], axis=-1
+    )
+    return idx, w
 
 
-def trilinear_lookup(table: jax.Array, coords: jax.Array) -> jax.Array:
-    """table: [r0, r1, r2, F]; coords: [..., 3] in [-1,1] -> [..., F]."""
-    r0, r1, r2, f = table.shape
-    flat = table.reshape(r0 * r1 * r2, f)
-
+def _corners_3d(coords, r0, r1, r2):
+    """Corner flat indices + lerp weights for trilinear interpolation ([...,8])."""
     x = _to_index_space(coords[..., 0], r0)
     y = _to_index_space(coords[..., 1], r1)
     z = _to_index_space(coords[..., 2], r2)
-
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     z0 = jnp.floor(z).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, r0 - 1)
     y1 = jnp.minimum(y0 + 1, r1 - 1)
     z1 = jnp.minimum(z0 + 1, r2 - 1)
-    tx = (x - x0)[..., None]
-    ty = (y - y0)[..., None]
-    tz = (z - z0)[..., None]
+    tx, ty, tz = x - x0, y - y0, z - z0
 
-    def fetch(ix, iy, iz):
-        return jnp.take(flat, (ix * r1 + iy) * r2 + iz, axis=0)
+    def flat(a, b, c):
+        return (a * r1 + b) * r2 + c
 
-    # lerp along z first, then y, then x
-    v000 = fetch(x0, y0, z0)
-    v001 = fetch(x0, y0, z1)
-    v010 = fetch(x0, y1, z0)
-    v011 = fetch(x0, y1, z1)
-    v100 = fetch(x1, y0, z0)
-    v101 = fetch(x1, y0, z1)
-    v110 = fetch(x1, y1, z0)
-    v111 = fetch(x1, y1, z1)
+    idx = jnp.stack(
+        [
+            flat(x0, y0, z0), flat(x0, y0, z1), flat(x0, y1, z0), flat(x0, y1, z1),
+            flat(x1, y0, z0), flat(x1, y0, z1), flat(x1, y1, z0), flat(x1, y1, z1),
+        ],
+        axis=-1,
+    )
+    wx0, wx1 = 1 - tx, tx
+    wy0, wy1 = 1 - ty, ty
+    wz0, wz1 = 1 - tz, tz
+    w = jnp.stack(
+        [
+            wx0 * wy0 * wz0, wx0 * wy0 * wz1, wx0 * wy1 * wz0, wx0 * wy1 * wz1,
+            wx1 * wy0 * wz0, wx1 * wy0 * wz1, wx1 * wy1 * wz0, wx1 * wy1 * wz1,
+        ],
+        axis=-1,
+    )
+    return idx, w
 
-    v00 = v000 + (v001 - v000) * tz
-    v01 = v010 + (v011 - v010) * tz
-    v10 = v100 + (v101 - v100) * tz
-    v11 = v110 + (v111 - v110) * tz
-    v0 = v00 + (v01 - v00) * ty
-    v1 = v10 + (v11 - v10) * ty
-    return v0 + (v1 - v0) * tx
+
+def _weighted_gather(flat_table, idx, w, gather_dtype=None):
+    """Gather corner rows and reduce with lerp weights.
+
+    flat_table [M, F], idx [..., C], w [..., C] -> [..., F] float32.
+    `gather_dtype` optionally down-casts the table before the gather — the
+    gather is byte-rate-limited on TPU, so bf16 tables double its throughput.
+    """
+    t = flat_table if gather_dtype is None else flat_table.astype(gather_dtype)
+    vals = jnp.take(t, idx, axis=0).astype(jnp.float32)  # [..., C, F]
+    return jnp.sum(vals * w[..., None], axis=-2)
+
+
+def bilinear_lookup(table: jax.Array, coords: jax.Array) -> jax.Array:
+    """table: [r0, r1, F]; coords: [..., 2] in [-1,1] -> [..., F].
+    Plain autodiff version (f32 gathers, exact scatter-add backward)."""
+    r0, r1, f = table.shape
+    idx, w = _corners_2d(coords, r0, r1)
+    return _weighted_gather(table.reshape(r0 * r1, f), idx, w)
+
+
+def trilinear_lookup(table: jax.Array, coords: jax.Array) -> jax.Array:
+    """table: [r0, r1, r2, F]; coords: [..., 3] in [-1,1] -> [..., F]."""
+    r0, r1, r2, f = table.shape
+    idx, w = _corners_3d(coords, r0, r1, r2)
+    return _weighted_gather(table.reshape(r0 * r1 * r2, f), idx, w)
+
+
+# --------------------------------------------------------------------------
+# Mixed-precision lookups: bf16 forward gathers (2x gather throughput — the
+# TPU gather path is byte-rate-limited) with an exact f32 scatter-add
+# backward via custom VJP.  NOTE: the coordinate cotangent is ZERO — valid
+# here because sample coordinates come from (no-grad) ray marching; do not
+# use these where gradients must flow into coords.
+# --------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def bilinear_lookup_mixed(
+    table, coords, gather_dtype=jnp.bfloat16, scatter_dtype=jnp.float32
+):
+    r0, r1, f = table.shape
+    idx, w = _corners_2d(coords, r0, r1)
+    return _weighted_gather(table.reshape(r0 * r1, f), idx, w, gather_dtype)
+
+
+def _bilinear_mixed_fwd(table, coords, gather_dtype, scatter_dtype):
+    return (
+        bilinear_lookup_mixed(table, coords, gather_dtype, scatter_dtype),
+        (table, coords),
+    )
+
+
+def _bilinear_mixed_bwd(gather_dtype, scatter_dtype, res, g):
+    table, coords = res
+    r0, r1, f = table.shape
+    idx, w = _corners_2d(coords, r0, r1)
+    contrib = (g[..., None, :] * w[..., :, None]).reshape(-1, f)
+    grad_flat = (
+        jnp.zeros((r0 * r1, f), scatter_dtype)
+        .at[idx.reshape(-1)]
+        .add(contrib.astype(scatter_dtype))
+    )
+    return grad_flat.reshape(r0, r1, f).astype(jnp.float32), jnp.zeros_like(coords)
+
+
+bilinear_lookup_mixed.defvjp(_bilinear_mixed_fwd, _bilinear_mixed_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def trilinear_lookup_mixed(
+    table, coords, gather_dtype=jnp.bfloat16, scatter_dtype=jnp.float32
+):
+    r0, r1, r2, f = table.shape
+    idx, w = _corners_3d(coords, r0, r1, r2)
+    return _weighted_gather(table.reshape(r0 * r1 * r2, f), idx, w, gather_dtype)
+
+
+def _trilinear_mixed_fwd(table, coords, gather_dtype, scatter_dtype):
+    return (
+        trilinear_lookup_mixed(table, coords, gather_dtype, scatter_dtype),
+        (table, coords),
+    )
+
+
+def _trilinear_mixed_bwd(gather_dtype, scatter_dtype, res, g):
+    table, coords = res
+    r0, r1, r2, f = table.shape
+    idx, w = _corners_3d(coords, r0, r1, r2)
+    contrib = (g[..., None, :] * w[..., :, None]).reshape(-1, f)
+    grad_flat = (
+        jnp.zeros((r0 * r1 * r2, f), scatter_dtype)
+        .at[idx.reshape(-1)]
+        .add(contrib.astype(scatter_dtype))
+    )
+    return grad_flat.reshape(r0, r1, r2, f).astype(jnp.float32), jnp.zeros_like(coords)
+
+
+trilinear_lookup_mixed.defvjp(_trilinear_mixed_fwd, _trilinear_mixed_bwd)
 
 
 def sawtooth(x: jax.Array, f: float) -> jax.Array:

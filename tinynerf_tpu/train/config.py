@@ -60,6 +60,10 @@ class TrainConfig:
     early_termination: float = 1e-4
     # checkpointing cadence (0 = only at the end); resume picks up latest
     checkpoint_every: int = 0
+    # profiling: capture a jax.profiler trace of steps [start, start+count)
+    # into <output>/trace (None disables).  View with TensorBoard.
+    profile_start: Optional[int] = None
+    profile_count: int = 5
 
     @property
     def bs_ratio(self) -> float:

@@ -384,8 +384,18 @@ def train(
             train_metrics.append(TrainMetrics(loss=loss_v, occupancy=occ_v))
         pending.clear()
 
+    profiling = False
     pbar = tqdm(range(start_step, steps))
     for step_i in pbar:
+        # profiler hooks (SURVEY.md §5: the reference has no tracing at all)
+        if cfg.profile_start is not None:
+            if step_i == cfg.profile_start:
+                jax.profiler.start_trace(str(output / "trace"))
+                profiling = True
+            elif profiling and step_i == cfg.profile_start + cfg.profile_count:
+                jax.profiler.stop_trace()
+                profiling = False
+
         key, kstep, kocc = jax.random.split(key, 3)
 
         if step_i % cfg.occ_update_every == 0:
@@ -448,6 +458,8 @@ def train(
             eval_acc.extend(evaluate(eval_set, rendered, indices))
             eval_ptr += cfg.eval_n
 
+    if profiling:
+        jax.profiler.stop_trace()
     flush_pending()
     elapsed = time.perf_counter() - t_start
     rays_per_sec_per_chip = rays_total / max(elapsed, 1e-9) / n_dev
