@@ -8,8 +8,10 @@ import numpy as np
 from tinynerf_tpu.ops import (
     bilinear_lookup,
     bilinear_lookup_mixed,
+    bilinear_lookup_quad,
     trilinear_lookup,
     trilinear_lookup_mixed,
+    trilinear_lookup_oct,
 )
 
 KEY = jax.random.PRNGKey(0)
@@ -59,6 +61,47 @@ def test_trilinear_mixed_close_and_grads():
         lambda t: jnp.sum(trilinear_lookup_mixed(t, pts, jnp.bfloat16) * g)
     )(table)
     np.testing.assert_allclose(np.asarray(grad_bf), np.asarray(grad_ref), atol=1e-5)
+
+
+def test_quad_lookup_exact_vs_plain():
+    """Cell-packed layout must reproduce corner-gather bilinear exactly
+    (incl. boundary coords where the cell index clamps)."""
+    table = jax.random.uniform(KEY, (17, 23, 4))
+    pts = jax.random.uniform(jax.random.PRNGKey(7), (300, 2), minval=-1, maxval=1)
+    pts = jnp.concatenate(
+        [pts, jnp.array([[-1.0, -1.0], [1.0, 1.0], [1.0, -1.0], [0.0, 1.0]])]
+    )
+    ref = bilinear_lookup(table, pts)
+    quad = bilinear_lookup_quad(table, pts, jnp.float32)
+    np.testing.assert_allclose(np.asarray(quad), np.asarray(ref), atol=1e-6)
+
+    g = jax.random.normal(jax.random.PRNGKey(8), ref.shape)
+    g_ref = jax.grad(lambda t: jnp.sum(bilinear_lookup(t, pts) * g))(table)
+    g_quad = jax.grad(
+        lambda t: jnp.sum(bilinear_lookup_quad(t, pts, jnp.float32) * g)
+    )(table)
+    np.testing.assert_allclose(np.asarray(g_quad), np.asarray(g_ref), atol=1e-5)
+    # bf16 forward still close
+    bf = bilinear_lookup_quad(table, pts, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(ref), atol=2e-2)
+
+
+def test_oct_lookup_exact_vs_plain():
+    table = jax.random.uniform(KEY, (7, 9, 11, 3))
+    pts = jax.random.uniform(jax.random.PRNGKey(9), (200, 3), minval=-1, maxval=1)
+    pts = jnp.concatenate(
+        [pts, jnp.array([[1.0, 1.0, 1.0], [-1.0, -1.0, -1.0]])]
+    )
+    ref = trilinear_lookup(table, pts)
+    oct_v = trilinear_lookup_oct(table, pts, jnp.float32)
+    np.testing.assert_allclose(np.asarray(oct_v), np.asarray(ref), atol=1e-6)
+
+    g = jax.random.normal(jax.random.PRNGKey(10), ref.shape)
+    g_ref = jax.grad(lambda t: jnp.sum(trilinear_lookup(t, pts) * g))(table)
+    g_oct = jax.grad(
+        lambda t: jnp.sum(trilinear_lookup_oct(t, pts, jnp.float32) * g)
+    )(table)
+    np.testing.assert_allclose(np.asarray(g_oct), np.asarray(g_ref), atol=1e-5)
 
 
 def test_occupancy_nearest_vs_trilinear_agree_deep_inside():

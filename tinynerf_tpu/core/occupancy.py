@@ -75,21 +75,23 @@ class OccupancyGrid:
         thr = self._threshold(state)
         return jnp.mean((state.grid > thr).astype(jnp.float32))
 
-    def update(
+    def update_slices(
         self,
-        state: OccupancyState,
+        grid_slices: jax.Array,  # [n_slices, r1, r2]
+        x_indices: jax.Array,  # [n_slices] int
+        keys: jax.Array,  # [n_slices] PRNG keys
+        threshold: jax.Array,
         sigma_fn: Callable[[jax.Array], jax.Array],
-        key: jax.Array,
-    ) -> OccupancyState:
-        """One decay/confirm sweep: evaluate sigma at a jittered point per voxel.
+    ) -> jax.Array:
+        """Decay/confirm sweep over a contiguous range of x-slices.
 
-        `sigma_fn`: [n, 3] contracted coords in [-1,1] -> [n] densities.
-        Jittable; chunked over x-slices to bound field-eval memory.
+        The unit of work for both the single-device update and the
+        mesh-sharded update (slices sharded over the data axis).  Chunked
+        with `lax.map` to bound field-eval memory (the reference's z-slice
+        loop, src/core.py:136, as one compiled program).
         """
         r0, r1, r2 = self.size
-        thr = self._threshold(state)
         size_f = jnp.array(self.size, dtype=jnp.float32)
-
         yz = jnp.stack(
             jnp.meshgrid(
                 jnp.arange(r1, dtype=jnp.float32),
@@ -98,8 +100,6 @@ class OccupancyGrid:
             ),
             axis=-1,
         )  # [r1, r2, 2]
-
-        keys = jax.random.split(key, r0)
 
         def slice_update(args):
             i, k, grid_slice = args
@@ -111,10 +111,25 @@ class OccupancyGrid:
             coords = -1.0 + 2.0 * (idx + jitter) / size_f
             sigma = sigma_fn(coords.reshape(-1, 3)).reshape(r1, r2)
             alpha = 1.0 - jnp.exp(-sigma * self.step_size)
-            return jnp.where(alpha > thr, 1.0, self.decay * grid_slice)
+            return jnp.where(alpha > threshold, 1.0, self.decay * grid_slice)
 
-        new_grid = jax.lax.map(
-            slice_update, (jnp.arange(r0), keys, state.grid)
+        return jax.lax.map(slice_update, (x_indices, keys, grid_slices))
+
+    def update(
+        self,
+        state: OccupancyState,
+        sigma_fn: Callable[[jax.Array], jax.Array],
+        key: jax.Array,
+    ) -> OccupancyState:
+        """One full decay/confirm sweep: one jittered sigma sample per voxel.
+
+        `sigma_fn`: [n, 3] contracted coords in [-1,1] -> [n] densities.
+        """
+        r0 = self.size[0]
+        thr = self._threshold(state)
+        keys = jax.random.split(key, r0)
+        new_grid = self.update_slices(
+            state.grid, jnp.arange(r0), keys, thr, sigma_fn
         )
         return OccupancyState(grid=new_grid, mean=jnp.mean(new_grid))
 

@@ -23,7 +23,12 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.interp import sawtooth, trilinear_lookup, trilinear_lookup_mixed
+from ..ops.interp import (
+    sawtooth,
+    trilinear_lookup,
+    trilinear_lookup_mixed,
+    trilinear_lookup_oct,
+)
 from .mlp import mlp_apply, mlp_init
 
 
@@ -35,7 +40,8 @@ class CobafaFeatureField:
     channels: Tuple[int, ...] = (8, 8, 8, 4, 4, 4)
     mlp_hidden_dim: int = 128
     dropout_p: float = 0.01
-    # see KPlanesFeatureField.gather_dtype / scatter_dtype
+    # see KPlanesFeatureField.lookup_mode / gather_dtype / scatter_dtype
+    lookup_mode: str = "quad"  # "quad" = cell-packed (oct rows in 3-D)
     gather_dtype: str = "bfloat16"
     scatter_dtype: str = "float32"
 
@@ -75,8 +81,10 @@ class CobafaFeatureField:
 
         `dropout_key` enables train-mode dropout; None = eval (identity).
         """
-        if self.gather_dtype == "bfloat16" or self.scatter_dtype == "bfloat16":
-            gd = jnp.bfloat16 if self.gather_dtype == "bfloat16" else jnp.float32
+        gd = jnp.bfloat16 if self.gather_dtype == "bfloat16" else jnp.float32
+        if self.lookup_mode == "quad":
+            lookup = lambda t, c: trilinear_lookup_oct(t, c, gd)
+        elif self.lookup_mode == "mixed":
             sd = jnp.bfloat16 if self.scatter_dtype == "bfloat16" else jnp.float32
             lookup = lambda t, c: trilinear_lookup_mixed(t, c, gd, sd)
         else:

@@ -24,7 +24,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.interp import bilinear_lookup, bilinear_lookup_mixed
+from ..ops.interp import (
+    bilinear_lookup,
+    bilinear_lookup_mixed,
+    bilinear_lookup_quad,
+)
 from ..ops.trunc_exp import truncated_exp
 from .encodings import posenc_dim, positional_encoding
 from .mlp import linear_apply, linear_init, mlp_apply, mlp_init
@@ -37,12 +41,16 @@ DIMENSION_PAIRS: Tuple[Tuple[int, int], ...] = ((0, 1), (0, 2), (1, 2))
 class KPlanesFeatureField:
     feature_dim_per_plane: int = 32
     resolutions: Tuple[int, ...] = (128, 256, 512)
-    # "bfloat16" halves forward gather bytes (the TPU bottleneck) while the
-    # backward scatter-add stays exact f32 (ops/interp.py mixed lookups);
-    # "float32" restores the plain autodiff path
+    # lookup strategy (see ops/interp.py):
+    #   "quad"  — cell-packed rows: ONE gather + ONE scatter row per sample
+    #             (TPU scatters are row-count-limited; ~3x faster backward)
+    #   "mixed" — 4 corner-row gathers fwd, exact f32 scatter bwd
+    #   "plain" — straight autodiff (f32 everywhere)
+    lookup_mode: str = "quad"
+    # "bfloat16" halves forward gather bytes (the gather path is
+    # byte-rate-limited); "float32" for exact forward
     gather_dtype: str = "bfloat16"
-    # backward scatter-add accumulation dtype; bf16 halves backward bytes at
-    # some gradient-precision cost (quality-validate before enabling)
+    # mixed mode only: backward scatter accumulation dtype
     scatter_dtype: str = "float32"
 
     @property
@@ -67,8 +75,10 @@ class KPlanesFeatureField:
 
     def apply(self, params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
         """x: [..., 3] in [-1,1] -> [..., feature_dim]."""
-        if self.gather_dtype == "bfloat16" or self.scatter_dtype == "bfloat16":
-            gd = jnp.bfloat16 if self.gather_dtype == "bfloat16" else jnp.float32
+        gd = jnp.bfloat16 if self.gather_dtype == "bfloat16" else jnp.float32
+        if self.lookup_mode == "quad":
+            lookup = lambda p, c: bilinear_lookup_quad(p, c, gd)
+        elif self.lookup_mode == "mixed":
             sd = jnp.bfloat16 if self.scatter_dtype == "bfloat16" else jnp.float32
             lookup = lambda p, c: bilinear_lookup_mixed(p, c, gd, sd)
         else:

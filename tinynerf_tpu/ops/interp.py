@@ -188,6 +188,160 @@ def _trilinear_mixed_bwd(gather_dtype, scatter_dtype, res, g):
 trilinear_lookup_mixed.defvjp(_trilinear_mixed_fwd, _trilinear_mixed_bwd)
 
 
+# --------------------------------------------------------------------------
+# Cell-packed lookups: ALL interpolation corners of a cell live in ONE table
+# row ([4F] for bilinear, [8F] for trilinear), so each sample costs exactly
+# one gather row forward and one scatter row backward.  TPU scatters are
+# ROW-COUNT-limited (measured ~15-40 ns/row regardless of width, and
+# windowed scatters are ~70x slower than canonical row scatters), so packing
+# 4 corners into one 512-byte row cuts the dominant backward cost ~4x.  The
+# packed table is rebuilt from the parameter table every call — a dense copy
+# that costs ~1 ms/step total, noise next to the scatters it saves.
+#
+# Index convention: cell origin clamped to [0, res-2]; fractional offsets in
+# [0, 1] (at coord == +1 the last cell interpolates with t == 1, which is
+# exactly the edge value — identical results to the corner-clamped form).
+# Coordinate cotangents are ZERO (see note above).
+# --------------------------------------------------------------------------
+
+
+def _cell_2d(coords, r0, r1):
+    x = _to_index_space(coords[..., 0], r0)
+    y = _to_index_space(coords[..., 1], r1)
+    x0 = jnp.clip(jnp.floor(x), 0, r0 - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, r1 - 2).astype(jnp.int32)
+    tx = x - x0
+    ty = y - y0
+    cell = x0 * (r1 - 1) + y0
+    w = jnp.stack(
+        [(1 - tx) * (1 - ty), (1 - tx) * ty, tx * (1 - ty), tx * ty], axis=-1
+    )
+    return cell, w
+
+
+def _build_quad(table, gather_dtype):
+    """[r0, r1, F] -> [(r0-1)*(r1-1), 4F]; corner order (00, 01, 10, 11)."""
+    t = table.astype(gather_dtype)
+    q = jnp.stack(
+        [t[:-1, :-1], t[:-1, 1:], t[1:, :-1], t[1:, 1:]], axis=2
+    )  # [r0-1, r1-1, 4, F]
+    r0, r1, f = table.shape
+    return q.reshape((r0 - 1) * (r1 - 1), 4 * f)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bilinear_lookup_quad(table, coords, gather_dtype=jnp.bfloat16):
+    """Bilinear lookup with the cell-packed (one row per sample) layout."""
+    r0, r1, f = table.shape
+    quad = _build_quad(table, gather_dtype)
+    cell, w = _cell_2d(coords, r0, r1)
+    rows = jnp.take(quad, cell, axis=0).astype(jnp.float32)
+    vals = rows.reshape(*cell.shape, 4, f)
+    return jnp.sum(vals * w[..., None], axis=-2)
+
+
+def _bilinear_quad_fwd(table, coords, gather_dtype):
+    return bilinear_lookup_quad(table, coords, gather_dtype), (table, coords)
+
+
+def _bilinear_quad_bwd(gather_dtype, res, g):
+    table, coords = res
+    r0, r1, f = table.shape
+    cell, w = _cell_2d(coords, r0, r1)
+    contrib = (g[..., None, :] * w[..., :, None]).reshape(-1, 4 * f)
+    gq = (
+        jnp.zeros(((r0 - 1) * (r1 - 1), 4 * f), jnp.float32)
+        .at[cell.reshape(-1)]
+        .add(contrib)
+    ).reshape(r0 - 1, r1 - 1, 4, f)
+    grad = jnp.zeros((r0, r1, f), jnp.float32)
+    grad = grad.at[:-1, :-1].add(gq[:, :, 0])
+    grad = grad.at[:-1, 1:].add(gq[:, :, 1])
+    grad = grad.at[1:, :-1].add(gq[:, :, 2])
+    grad = grad.at[1:, 1:].add(gq[:, :, 3])
+    return grad, jnp.zeros_like(coords)
+
+
+bilinear_lookup_quad.defvjp(_bilinear_quad_fwd, _bilinear_quad_bwd)
+
+
+def _cell_3d(coords, r0, r1, r2):
+    x = _to_index_space(coords[..., 0], r0)
+    y = _to_index_space(coords[..., 1], r1)
+    z = _to_index_space(coords[..., 2], r2)
+    x0 = jnp.clip(jnp.floor(x), 0, r0 - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, r1 - 2).astype(jnp.int32)
+    z0 = jnp.clip(jnp.floor(z), 0, r2 - 2).astype(jnp.int32)
+    tx, ty, tz = x - x0, y - y0, z - z0
+    cell = (x0 * (r1 - 1) + y0) * (r2 - 1) + z0
+    wx0, wx1 = 1 - tx, tx
+    wy0, wy1 = 1 - ty, ty
+    wz0, wz1 = 1 - tz, tz
+    w = jnp.stack(
+        [
+            wx0 * wy0 * wz0, wx0 * wy0 * wz1, wx0 * wy1 * wz0, wx0 * wy1 * wz1,
+            wx1 * wy0 * wz0, wx1 * wy0 * wz1, wx1 * wy1 * wz0, wx1 * wy1 * wz1,
+        ],
+        axis=-1,
+    )
+    return cell, w
+
+
+def _build_oct(table, gather_dtype):
+    """[r0, r1, r2, F] -> [(r0-1)(r1-1)(r2-1), 8F]; corner order matches
+    _corners_3d (z fastest, then y, then x)."""
+    t = table.astype(gather_dtype)
+    q = jnp.stack(
+        [
+            t[:-1, :-1, :-1], t[:-1, :-1, 1:], t[:-1, 1:, :-1], t[:-1, 1:, 1:],
+            t[1:, :-1, :-1], t[1:, :-1, 1:], t[1:, 1:, :-1], t[1:, 1:, 1:],
+        ],
+        axis=3,
+    )  # [r0-1, r1-1, r2-1, 8, F]
+    r0, r1, r2, f = table.shape
+    return q.reshape((r0 - 1) * (r1 - 1) * (r2 - 1), 8 * f)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def trilinear_lookup_oct(table, coords, gather_dtype=jnp.bfloat16):
+    """Trilinear lookup with the cell-packed (one row per sample) layout."""
+    r0, r1, r2, f = table.shape
+    oct_t = _build_oct(table, gather_dtype)
+    cell, w = _cell_3d(coords, r0, r1, r2)
+    rows = jnp.take(oct_t, cell, axis=0).astype(jnp.float32)
+    vals = rows.reshape(*cell.shape, 8, f)
+    return jnp.sum(vals * w[..., None], axis=-2)
+
+
+def _trilinear_oct_fwd(table, coords, gather_dtype):
+    return trilinear_lookup_oct(table, coords, gather_dtype), (table, coords)
+
+
+def _trilinear_oct_bwd(gather_dtype, res, g):
+    table, coords = res
+    r0, r1, r2, f = table.shape
+    cell, w = _cell_3d(coords, r0, r1, r2)
+    contrib = (g[..., None, :] * w[..., :, None]).reshape(-1, 8 * f)
+    gq = (
+        jnp.zeros(((r0 - 1) * (r1 - 1) * (r2 - 1), 8 * f), jnp.float32)
+        .at[cell.reshape(-1)]
+        .add(contrib)
+    ).reshape(r0 - 1, r1 - 1, r2 - 1, 8, f)
+    grad = jnp.zeros((r0, r1, r2, f), jnp.float32)
+    grad = grad.at[:-1, :-1, :-1].add(gq[..., 0, :])
+    grad = grad.at[:-1, :-1, 1:].add(gq[..., 1, :])
+    grad = grad.at[:-1, 1:, :-1].add(gq[..., 2, :])
+    grad = grad.at[:-1, 1:, 1:].add(gq[..., 3, :])
+    grad = grad.at[1:, :-1, :-1].add(gq[..., 4, :])
+    grad = grad.at[1:, :-1, 1:].add(gq[..., 5, :])
+    grad = grad.at[1:, 1:, :-1].add(gq[..., 6, :])
+    grad = grad.at[1:, 1:, 1:].add(gq[..., 7, :])
+    return grad, jnp.zeros_like(coords)
+
+
+trilinear_lookup_oct.defvjp(_trilinear_oct_fwd, _trilinear_oct_bwd)
+
+
 def sawtooth(x: jax.Array, f: float) -> jax.Array:
     """Periodic tiling encoding: 2*((f*x) mod 1) - 1, output in [-1, 1].
 

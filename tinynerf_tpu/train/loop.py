@@ -51,6 +51,7 @@ from ..core import (
     ContractionMip360,
     NerfRenderer,
     OccupancyGrid,
+    OccupancyState,
     RayMarcherAABB,
     RayMarcherUnbounded,
 )
@@ -211,13 +212,51 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def make_occupancy_update(renderer: NerfRenderer):
-    """Jitted occupancy sweep (replicated across the mesh)."""
+def make_occupancy_update(renderer: NerfRenderer, mesh: Optional[Mesh] = None):
+    """Jitted occupancy sweep.
+
+    With a mesh: grid x-slices are sharded over the data axis — each device
+    evaluates the field on its own voxel slab (the slab's field eval is the
+    expensive part), then slabs are implicitly all-gathered back into the
+    replicated state by the out-sharding.
+    """
+    occ = renderer.occupancy
+
+    if mesh is None or mesh.devices.size == 1:
+        def update(params, occ_state, key):
+            return occ.update(
+                occ_state, lambda x: renderer.sigma_fn(params, x), key
+            )
+
+        return jax.jit(update)
+
+    n_dev = mesh.devices.size
+    r0 = occ.size[0]
+    assert r0 % n_dev == 0, "occupancy resolution must divide the mesh"
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P()),
+        check_rep=False,
+    )
+    def sharded_slabs(params, grid_slab, x_idx, keys, thr):
+        new_slab = occ.update_slices(
+            grid_slab, x_idx, keys, thr, lambda x: renderer.sigma_fn(params, x)
+        )
+        mean = jax.lax.psum(jnp.sum(new_slab), DATA_AXIS) / (
+            occ.size[0] * occ.size[1] * occ.size[2]
+        )
+        return new_slab, mean
 
     def update(params, occ_state, key):
-        return renderer.occupancy.update(
-            occ_state, lambda x: renderer.sigma_fn(params, x), key
+        thr = occ._threshold(occ_state)
+        keys = jax.random.split(key, r0)
+        new_grid, mean = sharded_slabs(
+            params, occ_state.grid, jnp.arange(r0), keys, thr
         )
+        return OccupancyState(grid=new_grid, mean=mean)
 
     return jax.jit(update)
 
@@ -365,7 +404,9 @@ def train(
             )
         return steps_by_bucket[bucket]
 
-    occ_update = make_occupancy_update(renderer)
+    occ_update = make_occupancy_update(
+        renderer, mesh if cfg.occupancy_res % n_dev == 0 else None
+    )
     render_chunk_fn = make_render_chunk(renderer)
 
     # ---- host loop
@@ -379,9 +420,14 @@ def train(
     rays_total = 0.0
 
     def flush_pending():
-        for dev_scalars in pending:
-            loss_v, occ_v, fill_v, rays_v = (float(x) for x in dev_scalars)
-            train_metrics.append(TrainMetrics(loss=loss_v, occupancy=occ_v))
+        if not pending:
+            return
+        # one bulk host transfer (per-scalar fetches pay relay latency each)
+        host_vals = jax.device_get(pending)
+        for loss_v, occ_v, fill_v, rays_v in host_vals:
+            train_metrics.append(
+                TrainMetrics(loss=float(loss_v), occupancy=float(occ_v))
+            )
         pending.clear()
 
     profiling = False

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Quality smoke: train on a generated analytic scene and report test PSNR.
+
+Validates training dynamics end-to-end (does PSNR actually climb?) and lets
+lookup/precision variants be A/B-tested without external datasets (the
+container has no network access to fetch Blender scenes).
+
+Usage: python tools/quality_run.py [--method kplanes] [--steps 300]
+       [--lookup quad|mixed|plain] [--gather-dtype bfloat16|float32]
+"""
+
+import argparse
+import sys
+import tempfile
+from dataclasses import replace
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--method", default="kplanes")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--n_samples", type=int, default=128)
+    ap.add_argument("--lookup", default=None, choices=[None, "quad", "mixed", "plain"])
+    ap.add_argument("--gather-dtype", default=None, choices=[None, "bfloat16", "float32"])
+    ap.add_argument("--res", type=int, default=100)
+    ap.add_argument("--n_train", type=int, default=12)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from tinynerf_tpu.utils.fixtures import make_synthetic_scene as _make_synthetic_scene
+
+    from tinynerf_tpu.data import PoseSet, RayPool, parse_nerf_synthetic
+    from tinynerf_tpu.train import TrainConfig, train
+    import tinynerf_tpu.train.loop as loop_mod
+
+    scene = Path(tempfile.mkdtemp()) / "blob"
+    _make_synthetic_scene(scene, n_train=args.n_train, n_test=2, res=args.res)
+
+    cfg = TrainConfig(
+        method=args.method,
+        scene_type="aabb",
+        output=Path(tempfile.mkdtemp()) / "exp",
+        batch_size=args.batch_size,
+        n_samples=args.n_samples,
+        steps=args.steps,
+        occupancy_res=64,
+        seed=1,
+    )
+
+    # optionally override the field's lookup strategy via the registry
+    if args.lookup or args.gather_dtype:
+        from tinynerf_tpu.models import registry
+
+        orig = registry.make_model
+
+        def patched(method):
+            field, sd, rd = orig(method)
+            kw = {}
+            if args.lookup and hasattr(field, "lookup_mode"):
+                kw["lookup_mode"] = args.lookup
+            if args.gather_dtype and hasattr(field, "gather_dtype"):
+                kw["gather_dtype"] = args.gather_dtype
+            if kw:
+                field = replace(field, **kw)
+            return field, sd, rd
+
+        registry.make_model = patched
+        loop_mod.make_model = patched
+
+    train_rays = RayPool(parse_nerf_synthetic(scene, "train"))
+    test_set = PoseSet(parse_nerf_synthetic(scene, "test"))
+    out = train(cfg, train_rays, test_set=test_set)
+
+    psnrs = [m.psnr for m in out["test_metrics"]]
+    ssims = [m.ssim for m in out["test_metrics"]]
+    first_loss = out["train_metrics"][0].loss
+    last_loss = out["train_metrics"][-1].loss
+    print(
+        f"RESULT method={args.method} lookup={args.lookup or 'default'} "
+        f"gather={args.gather_dtype or 'default'} steps={args.steps} "
+        f"loss {first_loss:.4f}->{last_loss:.5f} "
+        f"test PSNR {np.mean(psnrs):.2f} dB  SSIM {np.mean(ssims):.3f} "
+        f"rays/s/chip {out['rays_per_sec_per_chip']:.0f}"
+    )
+
+
+if __name__ == "__main__":
+    main()
