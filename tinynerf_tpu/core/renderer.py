@@ -65,6 +65,10 @@ class NerfRenderer:
     compute_dtype: Any = jnp.float32
     # "auto" = Pallas kernel on TPU, jnp scan elsewhere; "jnp" / "pallas" force
     weights_impl: str = "auto"
+    # rematerialize the feature field in the backward pass — trades one extra
+    # forward for not holding per-layer activations of cap samples in HBM
+    # (needed for the wide vanilla MLP at the full 819k-sample budget)
+    remat_field: bool = False
 
     # ---------------------------------------------------------------- params
 
@@ -80,10 +84,14 @@ class NerfRenderer:
 
     def _field_apply(self, params, x, dropout_key=None):
         if isinstance(self.field, CobafaFeatureField):
-            return self.field.apply(
-                params["field"], x, self.compute_dtype, dropout_key=dropout_key
+            fn = lambda p, xx: self.field.apply(
+                p, xx, self.compute_dtype, dropout_key=dropout_key
             )
-        return self.field.apply(params["field"], x, self.compute_dtype)
+        else:
+            fn = lambda p, xx: self.field.apply(p, xx, self.compute_dtype)
+        if self.remat_field:
+            fn = jax.checkpoint(fn)
+        return fn(params["field"], x)
 
     def _weights(self, sigmas, deltas, maskf):
         impl = self.weights_impl

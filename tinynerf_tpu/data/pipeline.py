@@ -30,9 +30,13 @@ class RayPool:
     Equivalent of the reference's RaysDataset (src/data.py:102-120), minus the
     DataLoader: batches are sampled on device with `jax.random.randint` so the
     gather lives inside the jitted train step.
+
+    By default arrays stay host-side numpy — train() owns device placement
+    (it shards the pool over the mesh); pass device_put=True for ad-hoc
+    single-device use.
     """
 
-    def __init__(self, data: NerfData, device_put: bool = True):
+    def __init__(self, data: NerfData, device_put: bool = False):
         assert data.imgs is not None, "a ray pool requires ground-truth images"
         rays_o, rays_d = data.generate_rays()
         self.rays_o = np.concatenate([o.reshape(-1, 3) for o in rays_o])

@@ -106,6 +106,9 @@ def build_renderer(cfg: TrainConfig, scene_scale: float, bg_color) -> NerfRender
         bg_color=tuple(float(c) for c in bg_color) if bg_color is not None else None,
         early_termination=cfg.early_termination,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        # the wide vanilla MLP would hold ~8 GB of activations at the full
+        # sample budget; remat keeps it to one layer's worth
+        remat_field=(cfg.method == "vanilla"),
     )
 
 
@@ -264,11 +267,25 @@ def make_occupancy_update(renderer: NerfRenderer, mesh: Optional[Mesh] = None):
 # ------------------------------------------------------------------ inference
 
 
-def make_render_chunk(renderer: NerfRenderer):
+def make_render_chunk(renderer: NerfRenderer, mesh: Optional[Mesh] = None):
+    """Jitted dense render of one fixed-size ray chunk.
+
+    With a mesh, the chunk's ray axis is sharded over the data axis (the
+    dense path is pure vectorized math — pjit partitions it with no
+    collectives beyond the input scatter/output gather).
+    """
     def render_chunk(params, occ_state, rays_o, rays_d):
         return renderer.render_dense(params, occ_state, rays_o, rays_d).rgb
 
-    return jax.jit(render_chunk)
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(render_chunk)
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        render_chunk,
+        in_shardings=(repl, repl, data_sh, data_sh),
+        out_shardings=data_sh,
+    )
 
 
 def infer(
@@ -325,6 +342,22 @@ def evaluate(
         eval_metrics(img, np.asarray(dataset[i]["rgbs"]))
         for i, img in zip(indices, rendered)
     ]
+
+
+def pick_bucket(cfg: TrainConfig, avg_samples_per_ray: float) -> int:
+    """Largest candidate-ray bucket whose expected sample demand fits the cap.
+
+    This is the reference's dynamic-batching predictor (src/run.py:240's
+    projected_size, i.e. the running samples/ray average) hoisted out of the
+    graph: the host picks among precompiled static batch sizes instead of
+    growing a dynamic one.
+    """
+    want = cfg.sample_cap / max(avg_samples_per_ray, 1.0) / cfg.batch_size
+    bucket = min(cfg.ray_buckets)
+    for b in sorted(cfg.ray_buckets):
+        if b <= want:
+            bucket = b
+    return bucket
 
 
 # ---------------------------------------------------------------------- train
@@ -407,14 +440,15 @@ def train(
     occ_update = make_occupancy_update(
         renderer, mesh if cfg.occupancy_res % n_dev == 0 else None
     )
-    render_chunk_fn = make_render_chunk(renderer)
+    render_chunk_fn = make_render_chunk(
+        renderer, mesh if cfg.batch_size % n_dev == 0 else None
+    )
 
     # ---- host loop
     train_metrics: List[TrainMetrics] = []
     eval_acc: List[EvalMetrics] = []
     pending: List[Tuple] = []  # (loss, occ, fill, rays) device scalars
     avg_samples_per_ray = float(cfg.n_samples)
-    max_bucket = max(cfg.ray_buckets)
     eval_ptr = 0
     t_start = time.perf_counter()
     rays_total = 0.0
@@ -447,12 +481,7 @@ def train(
         if step_i % cfg.occ_update_every == 0:
             occ_state = occ_update(params, occ_state, kocc)
 
-        # pick the largest bucket whose expected demand fits the sample cap
-        want = cfg.sample_cap / max(avg_samples_per_ray, 1.0) / cfg.batch_size
-        bucket = 1
-        for b in sorted(cfg.ray_buckets):
-            if b <= want and b <= max_bucket:
-                bucket = b
+        bucket = pick_bucket(cfg, avg_samples_per_ray)
         step_fn = get_step(bucket)
 
         params, opt_state, m = step_fn(

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--gather-dtype", default=None, choices=[None, "bfloat16", "float32"])
     ap.add_argument("--res", type=int, default=100)
     ap.add_argument("--n_train", type=int, default=12)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     import numpy as np
@@ -50,6 +51,7 @@ def main():
         steps=args.steps,
         occupancy_res=64,
         seed=1,
+        compute_dtype=args.dtype,
     )
 
     # optionally override the field's lookup strategy via the registry
@@ -82,7 +84,7 @@ def main():
     last_loss = out["train_metrics"][-1].loss
     print(
         f"RESULT method={args.method} lookup={args.lookup or 'default'} "
-        f"gather={args.gather_dtype or 'default'} steps={args.steps} "
+        f"gather={args.gather_dtype or 'default'} dtype={args.dtype} steps={args.steps} "
         f"loss {first_loss:.4f}->{last_loss:.5f} "
         f"test PSNR {np.mean(psnrs):.2f} dB  SSIM {np.mean(ssims):.3f} "
         f"rays/s/chip {out['rays_per_sec_per_chip']:.0f}"

@@ -37,6 +37,9 @@ def main() -> None:
     parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--resume", action="store_true", help="resume from latest checkpoint in --output")
     parser.add_argument("--checkpoint_every", type=int, default=0)
+    parser.add_argument("--profile_start", type=int, default=None,
+                        help="capture a jax.profiler trace starting at this step")
+    parser.add_argument("--profile_count", type=int, default=5)
     args = parser.parse_args()
 
     seed = int(os.environ.get("SEED", 0))
@@ -79,6 +82,8 @@ def main() -> None:
         seed=seed,
         compute_dtype=args.dtype,
         checkpoint_every=args.checkpoint_every,
+        profile_start=args.profile_start,
+        profile_count=args.profile_count,
     )
     train(cfg, train_rays, eval_set, test_set, resume=args.resume)
 
