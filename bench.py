@@ -34,7 +34,7 @@ def main() -> None:
 
     from tinynerf_tpu.parallel import make_mesh
     from tinynerf_tpu.train import TrainConfig, build_renderer, make_optimizer
-    from tinynerf_tpu.train.loop import make_train_step
+    from tinynerf_tpu.train.loop import make_train_step, pick_bucket
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -87,11 +87,7 @@ def main() -> None:
     fill = float(m["fill"])
     rays = float(m["rays_used"])
     avg_spr = max(1.0, fill * cfg.sample_cap / max(rays, 1.0))
-    want = cfg.sample_cap / avg_spr / cfg.batch_size
-    bucket = 1
-    for b in cfg.ray_buckets:
-        if b <= want:
-            bucket = b
+    bucket = pick_bucket(cfg, avg_spr)
     print(
         f"probe: fill={fill:.3f} avg_samples/ray={avg_spr:.1f} bucket={bucket}",
         file=sys.stderr,

@@ -201,9 +201,16 @@ def test_render_packed_overflow_flags_rays():
     valid = np.asarray(packed.ray_valid)
     assert valid.sum() < 32  # some rays flagged
     assert valid.sum() >= 1  # prefix rays still fit
-    # valid rays are a prefix (ray-major compaction)
-    first_invalid = int(np.argmin(valid))
-    assert np.all(valid[first_invalid:] == 0)
+    # validity = ray-major prefix that fit, plus zero-sample rays (which
+    # render exact bg wherever they sit)
+    t, deltas = r.marcher(rays_o, rays_d)
+    pos = np.asarray(rays_o)[:, None, :] + np.asarray(rays_d)[:, None, :] * np.asarray(t)[..., None]
+    cpos, maskf = r.contraction(pos)
+    maskf = np.asarray(maskf * r.occupancy.query(occ_state, cpos))
+    counts = maskf.sum(-1)
+    ends = np.cumsum(counts)
+    expected = ((ends <= small_cap) | (counts == 0)).astype(np.float32)
+    np.testing.assert_array_equal(valid, expected)
 
 
 def test_render_gradients_flow():
@@ -224,6 +231,33 @@ def test_render_gradients_flow():
     )
     assert float(gnorm) > 0.0
     assert bool(jnp.isfinite(gnorm))
+
+
+def test_render_empty_scene_gives_bg_and_finite_grads():
+    """All-empty occupancy: every ray renders the background color and the
+    loss/grads stay finite (the reference's 'Empty iteration' escape hatch,
+    src/core.py:235-254, as a degenerate case rather than an exception)."""
+    r = _make_renderer(n_samples=8)
+    params = r.init(KEY)
+    occ_state = r.occupancy.init_state()
+    occ_state = occ_state._replace(
+        grid=jnp.zeros_like(occ_state.grid), mean=jnp.float32(0.0)
+    )
+    rays_o = jnp.zeros((8, 3))
+    rays_d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (8, 1))
+
+    out = r.render_packed(params, occ_state, rays_o, rays_d, cap=64)
+    np.testing.assert_allclose(np.asarray(out.rgb), 1.0, atol=1e-6)  # bg white
+    assert bool(jnp.all(out.ray_valid == 1.0))
+    assert int(out.n_samples) == 0
+
+    def loss_fn(p):
+        o = r.render_packed(p, occ_state, rays_o, rays_d, cap=64)
+        return jnp.mean((o.rgb - 0.5) ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
 
 
 def test_render_unbounded_scene():

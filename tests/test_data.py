@@ -88,6 +88,25 @@ def test_pose_set(synthetic_scene):
     assert item["rgbs"].shape == (64, 64, 3)
 
 
+def test_parse_nerfstudio_filename_splits(nerfstudio_scene, tmp_path):
+    """Explicit {split}_filenames lists override the every-8th convention."""
+    import json
+    import shutil
+
+    scene = tmp_path / "capture"
+    shutil.copytree(nerfstudio_scene, scene)
+    with open(scene / "transforms.json") as f:
+        meta = json.load(f)
+    names = [fr["file_path"] for fr in meta["frames"]]
+    meta["train_filenames"] = names[:3]
+    meta["val_filenames"] = names[3:5]
+    with open(scene / "transforms.json", "w") as f:
+        json.dump(meta, f)
+
+    assert parse_nerfstudio(scene, "train").n_img == 3
+    assert parse_nerfstudio(scene, "val").n_img == 2
+
+
 def test_parse_nerfstudio(nerfstudio_scene):
     train = parse_nerfstudio(nerfstudio_scene, "train")
     val = parse_nerfstudio(nerfstudio_scene, "val")

@@ -207,10 +207,12 @@ class NerfRenderer:
         )[:n_rays]
         opacity = jax.ops.segment_sum(w_cap, seg_ids, num_segments=n_rays + 1)[:n_rays]
 
-        # --- rays whose samples spilled past `cap` are excluded from loss
+        # --- rays whose samples spilled past `cap` are excluded from loss;
+        # zero-sample rays render exact bg regardless of position, so they
+        # always stay valid (they supervise toward the background)
         counts = jnp.sum(maskb, axis=-1)
         ends = jnp.cumsum(counts)
-        ray_valid = (ends <= cap).astype(jnp.float32)
+        ray_valid = ((ends <= cap) | (counts == 0)).astype(jnp.float32)
 
         return RenderOutput(
             rgb=self._composite(acc_rgb, opacity),

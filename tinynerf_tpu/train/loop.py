@@ -66,8 +66,21 @@ from .metrics import EvalMetrics, TrainMetrics, eval_metrics
 try:
     from tqdm import tqdm
 except ImportError:  # pragma: no cover
+    class _NullBar:
+        def __init__(self, iterable=None):
+            self._iterable = iterable if iterable is not None else iter(())
+
+        def __iter__(self):
+            return iter(self._iterable)
+
+        def set_postfix(self, **kw):
+            pass
+
+        def update(self, n=1):
+            pass
+
     def tqdm(x=None, **kw):
-        return x if x is not None else _NullBar()
+        return _NullBar(x)
 
 
 # --------------------------------------------------------------------- setup
@@ -220,8 +233,8 @@ def make_occupancy_update(renderer: NerfRenderer, mesh: Optional[Mesh] = None):
 
     With a mesh: grid x-slices are sharded over the data axis — each device
     evaluates the field on its own voxel slab (the slab's field eval is the
-    expensive part), then slabs are implicitly all-gathered back into the
-    replicated state by the out-sharding.
+    expensive part) — and the slabs are all-gathered once inside the update
+    so the returned state is replicated for the train steps that consume it.
     """
     occ = renderer.occupancy
 
@@ -241,17 +254,18 @@ def make_occupancy_update(renderer: NerfRenderer, mesh: Optional[Mesh] = None):
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
         check_rep=False,
     )
     def sharded_slabs(params, grid_slab, x_idx, keys, thr):
         new_slab = occ.update_slices(
             grid_slab, x_idx, keys, thr, lambda x: renderer.sigma_fn(params, x)
         )
-        mean = jax.lax.psum(jnp.sum(new_slab), DATA_AXIS) / (
-            occ.size[0] * occ.size[1] * occ.size[2]
-        )
-        return new_slab, mean
+        # all-gather ONCE here so consumers (train step, host metrics) see a
+        # replicated grid instead of re-gathering it every subsequent step
+        new_grid = jax.lax.all_gather(new_slab, DATA_AXIS, tiled=True)
+        mean = jnp.mean(new_grid)
+        return new_grid, mean
 
     def update(params, occ_state, key):
         thr = occ._threshold(occ_state)
@@ -464,6 +478,9 @@ def train(
             )
         pending.clear()
 
+    # cached device scalar; recomputed only when the grid changes
+    occ_frac = renderer.occupancy.occupancy(occ_state)
+
     profiling = False
     pbar = tqdm(range(start_step, steps))
     for step_i in pbar:
@@ -476,10 +493,13 @@ def train(
                 jax.profiler.stop_trace()
                 profiling = False
 
-        key, kstep, kocc = jax.random.split(key, 3)
+        # per-step keys derive from (base key, step index) so a resumed run
+        # continues the stream instead of replaying it from the start
+        kstep, kocc = jax.random.split(jax.random.fold_in(key, step_i))
 
         if step_i % cfg.occ_update_every == 0:
             occ_state = occ_update(params, occ_state, kocc)
+            occ_frac = renderer.occupancy.occupancy(occ_state)
 
         bucket = pick_bucket(cfg, avg_samples_per_ray)
         step_fn = get_step(bucket)
@@ -487,7 +507,6 @@ def train(
         params, opt_state, m = step_fn(
             params, opt_state, occ_state, pool_o, pool_d, pool_rgb, kstep
         )
-        occ_frac = renderer.occupancy.occupancy(occ_state)
         pending.append((m["loss"], occ_frac, m["fill"], m["rays_used"]))
         rays_total += bucket * cfg.batch_size
 

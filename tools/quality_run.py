@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", default="kplanes")
+    ap.add_argument("--scene_type", default="aabb", choices=["aabb", "unbounded"])
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch_size", type=int, default=1024)
     ap.add_argument("--n_samples", type=int, default=128)
@@ -29,6 +30,7 @@ def main():
     ap.add_argument("--res", type=int, default=100)
     ap.add_argument("--n_train", type=int, default=12)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--scene", default="spheres", choices=["blob", "spheres"])
     args = ap.parse_args()
 
     import numpy as np
@@ -39,12 +41,14 @@ def main():
     from tinynerf_tpu.train import TrainConfig, train
     import tinynerf_tpu.train.loop as loop_mod
 
-    scene = Path(tempfile.mkdtemp()) / "blob"
-    _make_synthetic_scene(scene, n_train=args.n_train, n_test=2, res=args.res)
+    scene = Path(tempfile.mkdtemp()) / args.scene
+    _make_synthetic_scene(
+        scene, n_train=args.n_train, n_test=2, res=args.res, kind=args.scene
+    )
 
     cfg = TrainConfig(
         method=args.method,
-        scene_type="aabb",
+        scene_type=args.scene_type,
         output=Path(tempfile.mkdtemp()) / "exp",
         batch_size=args.batch_size,
         n_samples=args.n_samples,
@@ -83,7 +87,7 @@ def main():
     first_loss = out["train_metrics"][0].loss
     last_loss = out["train_metrics"][-1].loss
     print(
-        f"RESULT method={args.method} lookup={args.lookup or 'default'} "
+        f"RESULT scene={args.scene} method={args.method} lookup={args.lookup or 'default'} "
         f"gather={args.gather_dtype or 'default'} dtype={args.dtype} steps={args.steps} "
         f"loss {first_loss:.4f}->{last_loss:.5f} "
         f"test PSNR {np.mean(psnrs):.2f} dB  SSIM {np.mean(ssims):.3f} "

@@ -76,7 +76,7 @@ def main() -> None:
         output=experiment_dir,
         batch_size=args.batch_size,
         n_samples=args.n_samples,
-        eval_every=args.eval_every if args.eval or args.eval_every else None,
+        eval_every=args.eval_every,
         eval_n=args.eval_n,
         steps=args.steps,
         seed=seed,
@@ -85,6 +85,9 @@ def main() -> None:
         profile_start=args.profile_start,
         profile_count=args.profile_count,
     )
+    # --eval without an explicit cadence evaluates 8 times over the run
+    if args.eval and cfg.eval_every is None:
+        cfg.eval_every = max(1, cfg.total_steps // 8)
     train(cfg, train_rays, eval_set, test_set, resume=args.resume)
 
 
