@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.cobafa import CobafaFeatureField
+from ..ops.segscan import compute_weights_packed
 from ..ops.weights import compute_weights
 from ..ops.weights_pallas import compute_weights_pallas
 from .contraction import ContractionAABB, ContractionMip360
@@ -185,18 +186,19 @@ class NerfRenderer:
         feats_cap = self._field_apply(params, cpos_cap, dropout_key=dkey)
         sigma_cap = self.sigma_decoder.apply(params["sigma"], feats_cap, self.compute_dtype)
 
-        # --- transmittance scan in the dense layout (numerically local
-        # per-row cumsum); non-compacted positions keep sigma = 0 => alpha = 0
-        # => they contribute nothing, exactly the packed semantics.
-        sigma_dense = (
-            jnp.zeros(total, dtype=jnp.float32)
-            .at[valid_idx]
-            .set(jnp.where(is_pad, 0.0, sigma_cap), mode="drop")
+        # --- transmittance scan directly on the packed layout: a Pallas
+        # segmented scan over contiguous per-ray runs (ops/segscan.py) — the
+        # direct analog of the reference's packed CUDA kernel, with no
+        # scatter-to-dense round trip.
+        valid_cap = 1.0 - is_pad.astype(jnp.float32)
+        delta_cap = deltas.reshape(total)[safe_idx]
+        w_cap = compute_weights_packed(
+            sigma_cap.astype(jnp.float32),
+            delta_cap,
+            valid_cap,
+            seg_ids.astype(jnp.int32),
+            self.early_termination,
         )
-        w_dense = self._weights(
-            sigma_dense.reshape(n_rays, n_samples), deltas, maskf
-        )
-        w_cap = w_dense.reshape(total)[safe_idx] * (1.0 - is_pad.astype(jnp.float32))
 
         rgbs_cap = self.rgb_decoder.apply(params["rgb"], feats_cap, dirs_cap, self.compute_dtype)
 

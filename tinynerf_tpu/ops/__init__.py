@@ -7,6 +7,7 @@ from .interp import (
     trilinear_lookup_mixed,
     trilinear_lookup_oct,
 )
+from .segscan import compute_weights_packed, segmented_cumsum
 from .trunc_exp import truncated_exp
 from .weights import compute_weights, compute_weights_naive
 
@@ -21,4 +22,6 @@ __all__ = [
     "truncated_exp",
     "compute_weights",
     "compute_weights_naive",
+    "compute_weights_packed",
+    "segmented_cumsum",
 ]

@@ -1,0 +1,166 @@
+"""Segmented scan over packed per-ray samples — Pallas TPU kernel.
+
+This is the direct TPU counterpart of the reference's CUDA weights kernel
+operating on its packed ragged layout (reference src/cuda.cu:3-58 runs one
+thread per ray over a flat [n_total_samples] buffer + per-ray (start, count)
+info).  Here the packed buffer is scanned as [rows of 128 lanes] with a
+SEGMENTED Hillis-Steele cumsum: within a row, log2(128) masked shift-adds
+(the mask kills contributions that cross a segment boundary); across rows
+and across grid blocks, a (value, segment-id) carry propagates — Pallas TPU
+grids execute sequentially, so the carry lives in scratch and flows through
+the whole buffer in one kernel launch.
+
+Numerical note: every cumsum is SEGMENT-LOCAL (max magnitude = one ray's
+optical depth), unlike a global-cumsum-minus-base formulation which loses
+float32 precision once the buffer's total optical depth is large.
+
+`segmented_cumsum` is the building block; `compute_weights_packed` composes
+it into the transmittance weights (forward) and the closed-form backward
+(reference src/cuda.cu:49-56) via a reverse segmented scan for the
+suffix sums.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+BLOCK_ROWS = 64  # 64 x 128 = 8192 samples per grid step
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _segscan_kernel(x_ref, seg_ref, out_ref, carry_val, carry_seg):
+    """One block: segmented cumsum of [BLOCK_ROWS, 128] with carry in SMEM."""
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        carry_val[0] = 0.0
+        carry_seg[0] = -1
+
+    x = x_ref[:]
+    seg = seg_ref[:]
+
+    # lane-wise segmented Hillis-Steele within each row (rows independent)
+    c = x
+    k = 1
+    while k < LANES:
+        zpad_v = jnp.zeros((c.shape[0], k), dtype=c.dtype)
+        zpad_s = jnp.full((c.shape[0], k), -2, dtype=seg.dtype)
+        c_sh = jnp.concatenate([zpad_v, c[:, : LANES - k]], axis=1)
+        s_sh = jnp.concatenate([zpad_s, seg[:, : LANES - k]], axis=1)
+        c = c + jnp.where(s_sh == seg, c_sh, 0.0)
+        k *= 2
+
+    out_ref[:] = c
+
+    # cross-row carry: sequential over rows, vector ops per row
+    def body(r, carry):
+        cv, cs = carry
+        row = out_ref[pl.ds(r, 1), :]  # [1, 128]
+        srow = seg_ref[pl.ds(r, 1), :]
+        row = row + jnp.where(srow == cs, cv, 0.0)
+        out_ref[pl.ds(r, 1), :] = row
+        return (row[0, LANES - 1], srow[0, LANES - 1])
+
+    cv, cs = jax.lax.fori_loop(
+        0, x.shape[0], body, (carry_val[0], carry_seg[0])
+    )
+    carry_val[0] = cv
+    carry_seg[0] = cs
+
+
+def segmented_cumsum(
+    x: jax.Array, seg: jax.Array, reverse: bool = False, interpret=None
+) -> jax.Array:
+    """Inclusive segment-local cumulative sum of a flat packed buffer.
+
+    x: [n] float32 values; seg: [n] int32 segment ids (segments must be
+    contiguous runs; any id works, including sentinels for padding).
+    reverse=True scans right-to-left (suffix sums).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    (n,) = x.shape
+    if reverse:
+        return segmented_cumsum(x[::-1], seg[::-1], False, interpret)[::-1]
+
+    block = BLOCK_ROWS * LANES
+    n_pad = (-n) % block
+    if n_pad:
+        x = jnp.concatenate([x, jnp.zeros((n_pad,), x.dtype)])
+        seg = jnp.concatenate([seg, jnp.full((n_pad,), -1, seg.dtype)])
+    rows = x.shape[0] // LANES
+    x2 = x.reshape(rows, LANES)
+    seg2 = seg.reshape(rows, LANES)
+
+    spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _segscan_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), x.dtype),
+        grid=(rows // BLOCK_ROWS,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x2, seg2)
+    return out.reshape(-1)[:n]
+
+
+# --------------------------------------------------------------------------
+# Packed transmittance weights on top of the segmented scan.
+# --------------------------------------------------------------------------
+
+
+def _weights_packed_fwd_math(sigmas, deltas, valid, seg, threshold, interpret):
+    s = sigmas * deltas * valid
+    c = segmented_cumsum(s, seg, interpret=interpret)  # inclusive optical depth
+    t_before = jnp.exp(-(c - s))
+    alpha = 1.0 - jnp.exp(-s)
+    w = jnp.where((valid > 0.0) & (t_before > threshold), t_before * alpha, 0.0)
+    return w, c
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def compute_weights_packed(sigmas, deltas, valid, seg, threshold=1e-4, interpret=None):
+    """Rendering weights directly on the packed [cap] layout.
+
+    sigmas/deltas/valid: [cap] float32; seg: [cap] int32 contiguous segment
+    (ray) ids.  Identical semantics to ops.weights.compute_weights on the
+    dense layout; gradients flow to sigmas only.
+    """
+    w, _ = _weights_packed_fwd_math(sigmas, deltas, valid, seg, threshold, interpret)
+    return w
+
+
+def _cwp_fwd(sigmas, deltas, valid, seg, threshold, interpret):
+    w, c = _weights_packed_fwd_math(sigmas, deltas, valid, seg, threshold, interpret)
+    return w, (deltas, valid, seg, w, c)
+
+
+def _cwp_bwd(threshold, interpret, res, g):
+    deltas, valid, seg, w, c = res
+    wg = w * g
+    # suffix_strict_k = sum_{j>k in segment} w_j g_j
+    suffix_incl = segmented_cumsum(wg, seg, reverse=True, interpret=interpret)
+    suffix_strict = suffix_incl - wg
+    t_incl = jnp.exp(-c)  # transmittance AFTER sample k (segment-local)
+    grad_sigmas = deltas * (t_incl * g - suffix_strict) * valid
+    return grad_sigmas, jnp.zeros_like(deltas), jnp.zeros_like(valid), None
+
+
+compute_weights_packed.defvjp(_cwp_fwd, _cwp_bwd)

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--n_train", type=int, default=12)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--scene", default="spheres", choices=["blob", "spheres"])
+    ap.add_argument("--occ_threshold", type=float, default=0.01,
+                    help="0 disables occupancy culling")
     args = ap.parse_args()
 
     import numpy as np
@@ -54,6 +56,7 @@ def main():
         n_samples=args.n_samples,
         steps=args.steps,
         occupancy_res=64,
+        occupancy_threshold=args.occ_threshold,
         seed=1,
         compute_dtype=args.dtype,
     )
@@ -78,6 +81,7 @@ def main():
         registry.make_model = patched
         loop_mod.make_model = patched
 
+    print(f"scene={scene} output={cfg.output}")
     train_rays = RayPool(parse_nerf_synthetic(scene, "train"))
     test_set = PoseSet(parse_nerf_synthetic(scene, "test"))
     out = train(cfg, train_rays, test_set=test_set)
