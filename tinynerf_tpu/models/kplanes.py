@@ -41,6 +41,14 @@ DIMENSION_PAIRS: Tuple[Tuple[int, int], ...] = ((0, 1), (0, 2), (1, 2))
 class KPlanesFeatureField:
     feature_dim_per_plane: int = 32
     resolutions: Tuple[int, ...] = (128, 256, 512)
+    # plane init range. The reference uses torch's uniform_ = U(0,1)
+    # (src/models.py:99), but the multiplicative combination is self-killing
+    # under that init: early background pressure shrinks all planes toward 0,
+    # and each plane's gradient is proportional to the PRODUCT of the other
+    # two, so it vanishes quadratically and the field dies (observed:
+    # plane mean 0.5 -> 0.0003, constant-sigma collapse). U(0.5, 1.5) keeps
+    # products near 1 — the K-Planes paper's identity-at-init intent.
+    init_range: Tuple[float, float] = (0.5, 1.5)
     # lookup strategy (see ops/interp.py):
     #   "quad"  — cell-packed rows: ONE gather + ONE scatter row per sample
     #             (TPU scatters are row-count-limited; ~3x faster backward)
@@ -64,9 +72,14 @@ class KPlanesFeatureField:
         for res in self.resolutions:
             scale_planes = []
             for _ in DIMENSION_PAIRS:
+                lo, hi = self.init_range
                 scale_planes.append(
                     jax.random.uniform(
-                        keys[ki], (res, res, self.feature_dim_per_plane), jnp.float32
+                        keys[ki],
+                        (res, res, self.feature_dim_per_plane),
+                        jnp.float32,
+                        lo,
+                        hi,
                     )
                 )
                 ki += 1

@@ -19,9 +19,24 @@ import jax
 import jax.numpy as jnp
 
 
-def linear_init(key: jax.Array, in_features: int, out_features: int) -> dict:
-    bound = 1.0 / jnp.sqrt(jnp.float32(in_features))
+def linear_init(
+    key: jax.Array, in_features: int, out_features: int, init: str = "torch"
+) -> dict:
+    """init="torch": torch.nn.Linear default (U(+-1/sqrt(fan_in)) for both
+    weight and bias) — reference parity, but its ReLU gain is ~1/6 per layer
+    so deep stacks lose positional signal exponentially (measured ~3x decay
+    per layer).  init="he": variance-preserving He-uniform weights + zero
+    bias, for deep field MLPs."""
     wkey, bkey = jax.random.split(key)
+    if init == "he":
+        bound = jnp.sqrt(6.0 / in_features)
+        return {
+            "w": jax.random.uniform(
+                wkey, (in_features, out_features), jnp.float32, -bound, bound
+            ),
+            "b": jnp.zeros((out_features,), jnp.float32),
+        }
+    bound = 1.0 / jnp.sqrt(jnp.float32(in_features))
     return {
         "w": jax.random.uniform(
             wkey, (in_features, out_features), jnp.float32, -bound, bound
@@ -42,6 +57,7 @@ def mlp_init(
     hidden_features: int,
     hidden_layers: int,
     out_features: Optional[int] = None,
+    init: str = "torch",
 ) -> List[dict]:
     """Layer list: in->hidden, then `hidden_layers` x hidden->hidden, then
     hidden->out (out defaults to hidden, as in the reference)."""
@@ -53,7 +69,7 @@ def mlp_init(
     )
     keys = jax.random.split(key, len(dims) - 1)
     return [
-        linear_init(k, d_in, d_out)
+        linear_init(k, d_in, d_out, init)
         for k, d_in, d_out in zip(keys, dims[:-1], dims[1:])
     ]
 

