@@ -53,15 +53,18 @@ def main() -> None:
     params = renderer.init(key)
     opt_state = optimizer.init(params)
 
-    # converged-like occupancy: only a centered ball (radius 0.35 in
-    # contracted coords) stays occupied -> ~2% of voxels, tens of samples/ray
+    # converged-like occupancy: a thin spherical SHELL stays occupied — what
+    # occupancy grids actually converge to on opaque objects (interiors are
+    # culled once surfaces opacify; observed on trained generated scenes,
+    # where steady state reaches the largest ray bucket)
     occ_state = renderer.occupancy.init_state()
     r = cfg.occupancy_res
     ax = (np.arange(r) + 0.5) / r * 2.0 - 1.0
     gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
-    ball = (gx**2 + gy**2 + gz**2 < 0.35**2).astype(np.float32)
+    rad = np.sqrt(gx**2 + gy**2 + gz**2)
+    shell = (np.abs(rad - 0.35) < 0.04).astype(np.float32)
     occ_state = occ_state._replace(
-        grid=jnp.asarray(ball), mean=jnp.float32(ball.mean())
+        grid=jnp.asarray(shell), mean=jnp.float32(shell.mean())
     )
 
     # ray pool: cameras on a sphere of radius 4 aimed at the scene center

@@ -70,10 +70,12 @@ def test_posenc_values():
 
 def test_truncated_exp_fwd_bwd():
     x = jnp.array([-20.0, 0.0, 2.0, 20.0])
-    np.testing.assert_allclose(np.asarray(truncated_exp(x)), np.exp(np.asarray(x)), rtol=1e-6)
-    grads = jax.vmap(jax.grad(truncated_exp))(x)
+    # forward and backward both clamp to [-15, 15] (saturating, finite)
     expected = np.exp(np.clip(np.asarray(x), -15, 15))
+    np.testing.assert_allclose(np.asarray(truncated_exp(x)), expected, rtol=1e-6)
+    grads = jax.vmap(jax.grad(truncated_exp))(x)
     np.testing.assert_allclose(np.asarray(grads), expected, rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(truncated_exp(jnp.array([1000.0])))))
 
 
 def test_kplanes_regularizers_nonnegative():

@@ -44,6 +44,14 @@ class CobafaFeatureField:
     lookup_mode: str = "quad"  # "quad" = cell-packed (oct rows in 3-D)
     gather_dtype: str = "bfloat16"
     scatter_dtype: str = "float32"
+    # grid init range: basis x coefficient is a two-factor product, so the
+    # same self-kill dynamic as K-Planes applies under U(0,1) init (see
+    # KPlanesFeatureField.init_range); U(0.5,1.5) keeps products near 1.
+    # The reference's torch uniform_ = U(0,1) is available via (0.0, 1.0).
+    init_range: Tuple[float, float] = (0.5, 1.5)
+    # deep (7-linear-layer) MLP: He init keeps feature signal alive;
+    # "torch" replicates the reference default
+    mlp_init_mode: str = "he"
 
     def __post_init__(self):
         assert len(self.basis_res) == len(self.freqs) == len(self.channels)
@@ -58,16 +66,25 @@ class CobafaFeatureField:
 
     def init(self, key: jax.Array):
         keys = jax.random.split(key, self.n_levels + 2)
+        lo, hi = self.init_range
         basis = [
-            jax.random.uniform(keys[i], (r, r, r, c), jnp.float32)
+            jax.random.uniform(keys[i], (r, r, r, c), jnp.float32, lo, hi)
             for i, (r, c) in enumerate(zip(self.basis_res, self.channels))
         ]
         coef = jax.random.uniform(
             keys[self.n_levels],
             (self.coef_res, self.coef_res, self.coef_res, self.n_levels),
             jnp.float32,
+            lo,
+            hi,
         )
-        mlp = mlp_init(keys[self.n_levels + 1], sum(self.channels), self.mlp_hidden_dim, 5)
+        mlp = mlp_init(
+            keys[self.n_levels + 1],
+            sum(self.channels),
+            self.mlp_hidden_dim,
+            5,
+            init=self.mlp_init_mode,
+        )
         return {"basis": basis, "coef": coef, "mlp": mlp}
 
     def apply(

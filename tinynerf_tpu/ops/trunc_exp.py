@@ -14,11 +14,15 @@ import jax.numpy as jnp
 
 @jax.custom_vjp
 def truncated_exp(x: jax.Array) -> jax.Array:
-    return jnp.exp(x)
+    # the forward also clamps (the reference's does not, src/models.py:47):
+    # exp(15) ~ 3.3e6 is far past opaque for any step size, and an unclamped
+    # forward overflows to inf under aggressive learning rates (observed),
+    # poisoning the whole pipeline with NaNs
+    return jnp.exp(jnp.clip(x, -15.0, 15.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.clip(x, -15.0, 15.0)), x
 
 
 def _trunc_exp_bwd(x, g):
