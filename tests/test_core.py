@@ -233,6 +233,19 @@ def test_render_gradients_flow():
     assert bool(jnp.isfinite(gnorm))
 
 
+def test_render_packed_cap_exceeds_grid():
+    """cap larger than n_rays*n_samples pads instead of erroring."""
+    r = _make_renderer(n_samples=8)
+    params = r.init(KEY)
+    occ_state = r.occupancy.init_state()
+    rays_o = jnp.zeros((4, 3))
+    rays_d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (4, 1))
+    big = r.render_packed(params, occ_state, rays_o, rays_d, cap=4 * 8 * 3)
+    exact = r.render_packed(params, occ_state, rays_o, rays_d, cap=4 * 8)
+    np.testing.assert_allclose(np.asarray(big.rgb), np.asarray(exact.rgb), atol=1e-5)
+    assert bool(jnp.all(big.ray_valid == 1.0))
+
+
 def test_render_empty_scene_gives_bg_and_finite_grads():
     """All-empty occupancy: every ray renders the background color and the
     loss/grads stay finite (the reference's 'Empty iteration' escape hatch,

@@ -180,8 +180,13 @@ class NerfRenderer:
         # including the pad fill.
         iota = jax.lax.broadcasted_iota(jnp.int32, (total,), 0)
         keys = jnp.where(maskb.reshape(-1), iota, jnp.int32(total))
-        neg_vals, _ = jax.lax.top_k(-keys, cap)
+        k = min(cap, total)  # top_k requires k <= input size
+        neg_vals, _ = jax.lax.top_k(-keys, k)
         valid_idx = -neg_vals
+        if k < cap:  # cap exceeds the candidate grid: pad like nonzero would
+            valid_idx = jnp.concatenate(
+                [valid_idx, jnp.full((cap - k,), total, jnp.int32)]
+            )
         is_pad = valid_idx >= total
         safe_idx = jnp.where(is_pad, 0, valid_idx)
         seg_ids = jnp.where(is_pad, n_rays, safe_idx // n_samples)

@@ -27,14 +27,20 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a private temp file and rename into place so concurrent
+    # builders (parallel test workers, multi-host jobs on a shared FS)
+    # cannot interleave writes into the cached .so
+    tmp = _SO.with_suffix(f".tmp.{os.getpid()}")
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-        str(_SRC), "-lpng", "-lz", "-o", str(_SO),
+        str(_SRC), "-lpng", "-lz", "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        tmp.unlink(missing_ok=True)
         return False
 
 
@@ -46,7 +52,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _tried:
             return None
         _tried = True
-        stale = (not _SO.exists()) or _SO.stat().st_mtime < _SRC.stat().st_mtime
+        try:
+            stale = (not _SO.exists()) or _SO.stat().st_mtime < _SRC.stat().st_mtime
+        except OSError:
+            # source missing (e.g. binary-only install): use the .so if we
+            # have one, otherwise degrade to the PIL path
+            stale = not _SO.exists()
         if stale and not _build():
             return None
         try:

@@ -68,16 +68,19 @@ def main():
 
     cpos, deltas, maskf = timeit("march+contract+occquery", stage_march, occ_state, rays_o, rays_d)
 
-    # stage: compaction (nonzero + gathers)
+    # stage: compaction (top_k partial selection + gathers — the shipped path)
     @jax.jit
     def stage_compact(cpos, maskf):
         total = R * S
-        (valid_idx,) = jnp.nonzero((maskf > 0).reshape(-1), size=CAP, fill_value=total)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (total,), 0)
+        keys = jnp.where((maskf > 0).reshape(-1), iota, jnp.int32(total))
+        neg_vals, _ = jax.lax.top_k(-keys, min(CAP, total))
+        valid_idx = -neg_vals
         is_pad = valid_idx >= total
         safe = jnp.where(is_pad, 0, valid_idx)
         return cpos.reshape(total, 3)[safe], safe // S, is_pad
 
-    cpos_cap, seg, is_pad = timeit("compaction", stage_compact, cpos, maskf)
+    cpos_cap, seg, is_pad = timeit("compaction (top_k)", stage_compact, cpos, maskf)
 
     # stage: field eval on CAP points
     @jax.jit
@@ -101,11 +104,14 @@ def main():
     timeit("rgb decoder", stage_rgb, params, feats, dirs_cap)
 
     @jax.jit
-    def stage_weights(sigma, deltas, maskf):
-        dense = jnp.zeros(R * S).at[jnp.arange(CAP)].set(sigma)
-        return compute_weights(dense.reshape(R, S), deltas, maskf, 1e-4)
+    def stage_weights(sigma, deltas, seg, is_pad):
+        from tinynerf_tpu.ops import compute_weights_packed
 
-    timeit("scatter+weights", stage_weights, sigma, deltas, maskf)
+        valid = 1.0 - is_pad.astype(jnp.float32)
+        delta_cap = deltas.reshape(-1)[jnp.where(is_pad, 0, seg * S)]
+        return compute_weights_packed(sigma, delta_cap, valid, seg, 1e-4)
+
+    timeit("packed weights (segscan)", stage_weights, sigma, deltas, seg, is_pad)
 
     # full fwd
     @jax.jit
