@@ -100,30 +100,34 @@ def main() -> None:
     step_fn = make_train_step(renderer, optimizer, cfg, mesh, n_cand=n_cand)
 
     def run(n_steps: int, params, opt_state):
-        m = None
+        ms = []
         for i in range(n_steps):
             params, opt_state, m = step_fn(
                 params, opt_state, occ_state,
                 pool_o, pool_d, pool_rgb, jax.random.PRNGKey(100 + i),
             )
+            ms.append(m["rays_used"])
         # device_get forces a real sync (block_until_ready is unreliable on
         # some experimental PJRT plugins)
-        float(m["loss"])
-        return params, opt_state
+        rays_used = float(sum(jax.device_get(ms)))
+        return params, opt_state, rays_used
 
     # warmup / compile (two rounds: donated-buffer layouts can trigger one
     # recompile after the first execution)
-    params, opt_state = run(2, params, opt_state)
-    params, opt_state = run(2, params, opt_state)
+    params, opt_state, _ = run(2, params, opt_state)
+    params, opt_state, _ = run(2, params, opt_state)
 
     t0 = time.perf_counter()
-    params, opt_state = run(N_STEPS, params, opt_state)
+    params, opt_state, rays_used = run(N_STEPS, params, opt_state)
     elapsed = time.perf_counter() - t0
 
-    rays_per_sec_per_chip = n_cand * N_STEPS / elapsed / n_dev
+    # count only rays that actually contributed to the loss (rays spilled
+    # past the sample cap are excluded by the trainer and don't count)
+    rays_per_sec_per_chip = rays_used / elapsed / n_dev
     print(
         f"steady state: {elapsed/N_STEPS*1e3:.1f} ms/step, "
-        f"{n_cand} rays/step, {n_dev} device(s)",
+        f"{n_cand} candidate rays/step ({rays_used/N_STEPS:.0f} trained), "
+        f"{n_dev} device(s)",
         file=sys.stderr,
     )
 

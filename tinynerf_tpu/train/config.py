@@ -55,8 +55,9 @@ class TrainConfig:
     compute_dtype: str = "float32"  # float32 | bfloat16 (MLP matmul dtype)
     # candidate-ray bucket multipliers: per step the host picks the largest
     # bucket whose expected sample demand fits the fixed cap; each bucket is
-    # one compiled program (static shapes)
-    ray_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)
+    # one compiled program (static shapes). Large multipliers engage late in
+    # training when occupancy has converged to thin shells (few samples/ray).
+    ray_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
     early_termination: float = 1e-4
     # checkpointing cadence (0 = only at the end); resume picks up latest
     checkpoint_every: int = 0
