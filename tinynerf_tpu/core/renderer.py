@@ -201,16 +201,34 @@ class NerfRenderer:
         # --- transmittance scan directly on the packed layout: a Pallas
         # segmented scan over contiguous per-ray runs (ops/segscan.py) — the
         # direct analog of the reference's packed CUDA kernel, with no
-        # scatter-to-dense round trip.
+        # scatter-to-dense round trip.  Off-TPU the kernel would run in the
+        # (slow, per-block python) interpreter — slow enough to trip the CPU
+        # backend's 40 s collective-rendezvous abort under a virtual mesh —
+        # so CPU uses the equivalent dense-detour (scatter sigma, row scan,
+        # gather back); the two are asserted equal in tests.
         valid_cap = 1.0 - is_pad.astype(jnp.float32)
-        delta_cap = deltas.reshape(total)[safe_idx]
-        w_cap = compute_weights_packed(
-            sigma_cap.astype(jnp.float32),
-            delta_cap,
-            valid_cap,
-            seg_ids.astype(jnp.int32),
-            self.early_termination,
-        )
+        if jax.default_backend() == "tpu":
+            delta_cap = deltas.reshape(total)[safe_idx]
+            w_cap = compute_weights_packed(
+                sigma_cap.astype(jnp.float32),
+                delta_cap,
+                valid_cap,
+                seg_ids.astype(jnp.int32),
+                self.early_termination,
+            )
+        else:
+            sigma_dense = (
+                jnp.zeros(total, dtype=jnp.float32)
+                .at[valid_idx]
+                .set(sigma_cap.astype(jnp.float32) * valid_cap, mode="drop")
+            )
+            w_dense = compute_weights(
+                sigma_dense.reshape(n_rays, n_samples),
+                deltas,
+                maskf,
+                self.early_termination,
+            )
+            w_cap = w_dense.reshape(total)[safe_idx] * valid_cap
 
         rgbs_cap = self.rgb_decoder.apply(params["rgb"], feats_cap, dirs_cap, self.compute_dtype)
 
