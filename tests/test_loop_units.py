@@ -28,8 +28,9 @@ def test_pick_bucket_intermediate():
 
 
 def test_pick_bucket_degenerate():
-    assert pick_bucket(cfg(), avg_samples_per_ray=0.0) == 16  # cap / 1.0
-    assert pick_bucket(cfg(), avg_samples_per_ray=1e9) == 1
+    c = cfg()
+    assert pick_bucket(c, avg_samples_per_ray=0.0) == max(c.ray_buckets)
+    assert pick_bucket(c, avg_samples_per_ray=1e9) == 1
 
 
 def test_schedule_derivations():
