@@ -37,7 +37,11 @@ class TrainConfig:
     # decay: a voxel must be seen empty 16 times to die (0.01 ** (1/16))
     occupancy_decay: Optional[float] = None
 
-    lr_init: float = 1e-2
+    # None = method-dependent default: 1e-2 for the grid fields (reference
+    # value, src/run.py:110), 1e-3 for vanilla — the reference hardcodes
+    # 1e-2 for ALL methods, but that is destructively high for the pure-MLP
+    # field (measured: spheres PSNR 11.8 stuck at 1e-2 vs 26.4 at 1e-3)
+    lr_init: Optional[float] = None
     adam_eps: float = 1e-15
     weight_decay: float = 1e-5
     tv_reg_alpha: float = 1e-4  # kplanes only
@@ -65,6 +69,12 @@ class TrainConfig:
     # into <output>/trace (None disables).  View with TensorBoard.
     profile_start: Optional[int] = None
     profile_count: int = 5
+
+    @property
+    def effective_lr(self) -> float:
+        if self.lr_init is not None:
+            return self.lr_init
+        return 1e-3 if self.method == "vanilla" else 1e-2
 
     @property
     def bs_ratio(self) -> float:

@@ -149,7 +149,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     boundaries = {
         max(1, int(m * steps)): cfg.lr_gamma for m in cfg.lr_milestones
     }
-    schedule = optax.piecewise_constant_schedule(cfg.lr_init, boundaries)
+    schedule = optax.piecewise_constant_schedule(cfg.effective_lr, boundaries)
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
         optax.scale_by_adam(eps=cfg.adam_eps),

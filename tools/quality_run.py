@@ -33,7 +33,8 @@ def main():
     ap.add_argument("--scene", default="spheres", choices=["blob", "spheres"])
     ap.add_argument("--occ_threshold", type=float, default=0.01,
                     help="0 disables occupancy culling")
-    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="None = method-dependent default")
     ap.add_argument("--tv", type=float, default=1e-4)
     args = ap.parse_args()
 
