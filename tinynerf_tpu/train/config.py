@@ -37,10 +37,12 @@ class TrainConfig:
     # decay: a voxel must be seen empty 16 times to die (0.01 ** (1/16))
     occupancy_decay: Optional[float] = None
 
-    # None = method-dependent default: 1e-2 for the grid fields (reference
-    # value, src/run.py:110), 1e-3 for vanilla — the reference hardcodes
-    # 1e-2 for ALL methods, but that is destructively high for the pure-MLP
-    # field (measured: spheres PSNR 11.8 stuck at 1e-2 vs 26.4 at 1e-3)
+    # None = method-dependent default: 1e-2 for K-Planes (reference value,
+    # src/run.py:110), 1e-3 for the MLP-dominated fields — the reference
+    # hardcodes 1e-2 for ALL methods, but that is destructively high when an
+    # MLP carries the field (measured on the spheres scene: vanilla 11.8 dB
+    # stuck at 1e-2 vs 26.4 dB at 1e-3; cobafa 11.8 vs 17.9 — plausibly why
+    # the reference never achieved its Cobafa reproduction)
     lr_init: Optional[float] = None
     adam_eps: float = 1e-15
     weight_decay: float = 1e-5
@@ -74,7 +76,7 @@ class TrainConfig:
     def effective_lr(self) -> float:
         if self.lr_init is not None:
             return self.lr_init
-        return 1e-3 if self.method == "vanilla" else 1e-2
+        return 1e-3 if self.method in ("vanilla", "cobafa") else 1e-2
 
     @property
     def bs_ratio(self) -> float:
