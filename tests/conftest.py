@@ -15,10 +15,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = flags + " --xla_force_host_platform_device_count=8"
-if "xla_cpu_use_thunk_runtime" not in flags:
-    # thunk-runtime in-process collectives can deadlock-abort when virtual
-    # devices outnumber physical cores; the legacy runtime is reliable
-    flags = flags + " --xla_cpu_use_thunk_runtime=false"
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
