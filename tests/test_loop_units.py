@@ -3,7 +3,7 @@
 from pathlib import Path
 
 from tinynerf_tpu.train import TrainConfig
-from tinynerf_tpu.train.loop import pick_bucket
+from tinynerf_tpu.train.loop import BucketEstimator, lr_schedule, pick_bucket
 
 
 def cfg(**kw):
@@ -31,6 +31,55 @@ def test_pick_bucket_degenerate():
     c = cfg()
     assert pick_bucket(c, avg_samples_per_ray=0.0) == max(c.ray_buckets)
     assert pick_bucket(c, avg_samples_per_ray=1e9) == 1
+
+
+def test_pick_bucket_overfill():
+    # demand 41 samples/ray -> exact fit would be 400/41 = 9.76; with the
+    # default 1.15 overfill the policy may exceed the cap slightly -> 11.2 ->
+    # bucket 8; disabling overfill keeps it at 8 too, but at 36 samples/ray
+    # overfill reaches 12 while exact-fit stays at 8
+    c = cfg()
+    assert pick_bucket(c, avg_samples_per_ray=36.0) == 12
+    c0 = cfg(bucket_overfill=1.0)
+    assert pick_bucket(c0, avg_samples_per_ray=36.0) == 8
+
+
+def test_estimator_refreshes_after_occupancy_change():
+    """The bucket must adapt on the FIRST observation after an occupancy
+    update, not after the periodic refresh window."""
+    c = cfg()
+    est = BucketEstimator(c, refresh_every=64)
+    # steady state: everything occupied -> 400 samples/ray -> bucket 1
+    est.observe(fill=1.0, rays_used=2048.0)  # forced? no: _since=1 < 64
+    assert est.bucket() == 1  # initial estimate = n_samples
+    # occupancy collapse: demand drops to ~25 samples/ray
+    est.mark_occupancy_changed()
+    est.observe(fill=25.0 * 2048 / c.sample_cap, rays_used=2048.0)
+    assert est.avg_samples_per_ray == 25.0
+    assert est.bucket() >= 16  # adapted immediately
+
+
+def test_estimator_periodic_refresh():
+    c = cfg()
+    est = BucketEstimator(c, refresh_every=3)
+    for _ in range(2):
+        est.observe(fill=0.1, rays_used=2048.0)
+    assert est.avg_samples_per_ray == float(c.n_samples)  # not yet
+    est.observe(fill=0.1, rays_used=2048.0)  # 3rd -> refresh
+    assert est.avg_samples_per_ray == 0.1 * c.sample_cap / 2048.0
+
+
+def test_lr_milestones_compose_on_collision():
+    """At steps=8 the 0.75 and 5/6 milestones both land on step 6: torch
+    MultiStepLR applies gamma per occurrence, so the schedule must decay
+    twice there (4 decays total at any step count)."""
+    c = cfg(steps=8, lr_init=1.0, lr_gamma=0.33)
+    sched = lr_schedule(c)
+    # milestones: 0.5*8=4, 0.75*8=6, (5/6)*8=6, 0.9*8=7
+    assert abs(float(sched(3)) - 1.0) < 1e-6
+    assert abs(float(sched(4)) - 0.33) < 1e-6
+    assert abs(float(sched(6)) - 0.33**3) < 1e-6  # composed double decay
+    assert abs(float(sched(7)) - 0.33**4) < 1e-6
 
 
 def test_schedule_derivations():

@@ -78,20 +78,55 @@ def test_train_multichip_mesh(pools, tmp_path):
 
 
 def test_sharded_matches_single_device_grads(pools, tmp_path):
-    """The psum'd data-parallel step must equal the single-device step
-    given identical ray batches (checked via loss on a deterministic pool)."""
-    # Both meshes see the same pool; the per-device rng fold differs, so
-    # compare only that both losses are finite and training reduces loss
-    # over a few steps in both settings.
+    """The psum'd 8-device train step must produce the SAME loss and grads
+    as the 1-device step on the identical global batch.
+
+    Uses make_train_step's deterministic seam: each device consumes its
+    leading pool-shard rays (no rng gather) and jitter is disabled, so with
+    a pool of exactly n_cand rays the 8-way shards partition the same batch
+    the single device sees.  This guards the psum/scale math of the sharded
+    step (loss numerator/denominator and gradient reduction)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tinynerf_tpu.train import build_renderer, make_optimizer
+    from tinynerf_tpu.train.loop import make_train_step
+
     train_rays, _ = pools
-    losses = {}
+    cfg = tiny_cfg(tmp_path, method="vanilla", batch_size=64, n_samples=16)
+    n_cand = 64
+
+    o, d, rgb = (np.asarray(a)[:n_cand] for a in train_rays.arrays())
+    renderer = build_renderer(cfg, train_rays.scene_scale, train_rays.bg_color)
+    optimizer = make_optimizer(cfg)
+    params0 = renderer.init(jax.random.PRNGKey(3))
+    occ0 = renderer.occupancy.init_state()
+    key = jax.random.PRNGKey(7)
+
+    results = {}
     for name, devs in (("single", 1), ("multi", 8)):
         mesh = make_mesh(jax.devices()[:devs])
-        cfg = tiny_cfg(tmp_path / name, method="vanilla", steps=3, batch_size=64)
-        out = train(cfg, train_rays, mesh=mesh)
-        losses[name] = [m.loss for m in out["train_metrics"]]
-    for v in losses.values():
-        assert all(np.isfinite(x) for x in v)
+        sh = NamedSharding(mesh, P("data"))
+        pools_dev = tuple(jax.device_put(a, sh) for a in (o, d, rgb))
+        step_fn = make_train_step(
+            renderer, optimizer, cfg, mesh, n_cand=n_cand, deterministic=True
+        )
+        params = jax.tree_util.tree_map(jnp.array, params0)  # fresh (donated)
+        opt_state = optimizer.init(params)
+        _, _, m = step_fn(params, opt_state, occ0, *pools_dev, key)
+        results[name] = m
+
+    assert np.allclose(
+        float(results["single"]["loss"]), float(results["multi"]["loss"]),
+        rtol=1e-5, atol=1e-7,
+    )
+    g1 = jax.tree_util.tree_leaves(results["single"]["grads"])
+    g8 = jax.tree_util.tree_leaves(results["multi"]["grads"])
+    assert len(g1) == len(g8) and len(g1) > 0
+    for a, b in zip(g1, g8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
 
 
 def test_checkpoint_resume(pools, tmp_path):

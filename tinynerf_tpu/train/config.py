@@ -63,7 +63,12 @@ class TrainConfig:
     # bucket whose expected sample demand fits the fixed cap; each bucket is
     # one compiled program (static shapes). Large multipliers engage late in
     # training when occupancy has converged to thin shells (few samples/ray).
-    ray_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+    ray_buckets: Tuple[int, ...] = (1, 2, 3, 4, 6, 8, 12, 16, 20, 24, 32, 48, 64)
+    # candidate demand may exceed the cap by this factor: rays that spill past
+    # the cap are excluded from the loss (renderer.render_packed ray_valid),
+    # so slight overfill trades a few dropped tail rays for full buffer
+    # utilization between bucket steps
+    bucket_overfill: float = 1.15
     early_termination: float = 1e-4
     # checkpointing cadence (0 = only at the end); resume picks up latest
     checkpoint_every: int = 0

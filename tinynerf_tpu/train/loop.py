@@ -44,7 +44,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.6 stable API; the experimental alias is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..core import (
     ContractionAABB,
@@ -56,8 +60,9 @@ from ..core import (
     RayMarcherUnbounded,
 )
 from ..data import PoseSet, RayPool
+from ..data.pipeline import sample_ray_batch
 from ..models import make_model
-from ..parallel import DATA_AXIS, make_mesh
+from ..parallel import DATA_AXIS, make_mesh, shard_rays
 from ..utils import save_png
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .config import TrainConfig
@@ -141,15 +146,23 @@ def _decay_mask(params) -> object:
     return jax.tree_util.tree_map_with_path(mask_entry, params)
 
 
+def lr_schedule(cfg: TrainConfig):
+    """Piecewise-constant schedule with torch MultiStepLR semantics: gamma is
+    applied once PER MILESTONE OCCURRENCE, so milestones that collapse to the
+    same step at small `steps` compose multiplicatively."""
+    steps = cfg.total_steps
+    boundaries: Dict[int, float] = {}
+    for m in cfg.lr_milestones:
+        b = max(1, int(m * steps))
+        boundaries[b] = boundaries.get(b, 1.0) * cfg.lr_gamma
+    return optax.piecewise_constant_schedule(cfg.effective_lr, boundaries)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam + L2-in-grad weight decay + piecewise-constant LR schedule,
     matching torch Adam(weight_decay=...) + MultiStepLR semantics (decay
     masked off the feature tables — see _decay_mask)."""
-    steps = cfg.total_steps
-    boundaries = {
-        max(1, int(m * steps)): cfg.lr_gamma for m in cfg.lr_milestones
-    }
-    schedule = optax.piecewise_constant_schedule(cfg.effective_lr, boundaries)
+    schedule = lr_schedule(cfg)
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
         optax.scale_by_adam(eps=cfg.adam_eps),
@@ -166,11 +179,17 @@ def make_train_step(
     cfg: TrainConfig,
     mesh: Mesh,
     n_cand: int,
+    deterministic: bool = False,
 ):
     """One compiled train step for a given candidate-ray count `n_cand`.
 
     Returns fn(params, opt_state, occ_state, pool_o, pool_d, pool_rgb, key)
     -> (params, opt_state, metrics-dict of replicated scalars).
+
+    `deterministic=True` (tests only) replaces the per-device rng batch with
+    each device's leading pool-shard rays and disables sample jitter, so a
+    1-device and an N-device mesh see the exact same global batch — the seam
+    the sharded-vs-single gradient-equality test uses.
     """
     n_dev = mesh.devices.size
     assert n_cand % n_dev == 0, "candidate rays must divide the mesh"
@@ -187,14 +206,21 @@ def make_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def data_grads(params, occ_state, pool_o, pool_d, pool_rgb, key):
-        ax = jax.lax.axis_index(DATA_AXIS)
-        key = jax.random.fold_in(key, ax)
-        kbatch, krender = jax.random.split(key)
-        idx = jax.random.randint(kbatch, (local_cand,), 0, pool_o.shape[0])
-        rays_o, rays_d, rgbs = pool_o[idx], pool_d[idx], pool_rgb[idx]
+        if deterministic:
+            rays_o, rays_d, rgbs = (
+                pool_o[:local_cand], pool_d[:local_cand], pool_rgb[:local_cand]
+            )
+            krender = None
+        else:
+            ax = jax.lax.axis_index(DATA_AXIS)
+            key = jax.random.fold_in(key, ax)
+            kbatch, krender = jax.random.split(key)
+            rays_o, rays_d, rgbs = sample_ray_batch(
+                kbatch, pool_o, pool_d, pool_rgb, local_cand
+            )
 
         def data_loss(p):
             out = renderer.render_packed(
@@ -240,6 +266,10 @@ def make_train_step(
             "rays_used": rays_used,
             "fill": n_filled / cfg.sample_cap,
         }
+        if deterministic:
+            # expose the (replicated, post-psum) grads so equality tests can
+            # compare them across mesh sizes
+            metrics["grads"] = grads
         return params, opt_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 1))
@@ -272,7 +302,7 @@ def make_occupancy_update(renderer: NerfRenderer, mesh: Optional[Mesh] = None):
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded_slabs(params, grid_slab, x_idx, keys, thr):
         new_slab = occ.update_slices(
@@ -383,12 +413,57 @@ def pick_bucket(cfg: TrainConfig, avg_samples_per_ray: float) -> int:
     graph: the host picks among precompiled static batch sizes instead of
     growing a dynamic one.
     """
-    want = cfg.sample_cap / max(avg_samples_per_ray, 1.0) / cfg.batch_size
+    want = (
+        cfg.sample_cap
+        * cfg.bucket_overfill
+        / max(avg_samples_per_ray, 1.0)
+        / cfg.batch_size
+    )
     bucket = min(cfg.ray_buckets)
     for b in sorted(cfg.ray_buckets):
         if b <= want:
             bucket = b
     return bucket
+
+
+class BucketEstimator:
+    """Running samples/ray estimate driving `pick_bucket`.
+
+    The reference recomputes its demand predictor every iteration
+    (projected_size, src/run.py:240).  Here each refresh costs one small
+    device->host fetch, so refreshes are rate-limited to every
+    `refresh_every` steps — EXCEPT right after an occupancy update, when
+    demand jumps and a stale estimate would overflow (early training) or
+    under-fill (late training) the sample buffer: `mark_occupancy_changed`
+    forces the next observation to refresh.
+    """
+
+    def __init__(self, cfg: TrainConfig, refresh_every: int = 8):
+        self.cfg = cfg
+        self.refresh_every = refresh_every
+        self.avg_samples_per_ray = float(cfg.n_samples)
+        self._since = 0
+        self._force = False
+
+    def mark_occupancy_changed(self) -> None:
+        self._force = True
+
+    def observe(self, fill, rays_used) -> None:
+        """Feed one step's (fill, rays_used) device scalars; fetches them
+        only when a refresh is due."""
+        self._since += 1
+        if not (self._force or self._since >= self.refresh_every):
+            return
+        fill_v, rays_v = float(fill), float(rays_used)
+        if rays_v > 0:
+            self.avg_samples_per_ray = max(
+                1.0, fill_v * self.cfg.sample_cap / rays_v
+            )
+        self._since = 0
+        self._force = False
+
+    def bucket(self) -> int:
+        return pick_bucket(self.cfg, self.avg_samples_per_ray)
 
 
 # ---------------------------------------------------------------------- train
@@ -431,10 +506,7 @@ def train(
     pool_o = _pad_pool(pool_o, n_dev)
     pool_d = _pad_pool(pool_d, n_dev)
     pool_rgb = _pad_pool(pool_rgb, n_dev)
-    sh = NamedSharding(mesh, P(DATA_AXIS))
-    pool_o = jax.device_put(pool_o, sh)
-    pool_d = jax.device_put(pool_d, sh)
-    pool_rgb = jax.device_put(pool_rgb, sh)
+    pool_o, pool_d, pool_rgb = shard_rays(mesh, pool_o, pool_d, pool_rgb)
 
     # ---- state init (or resume)
     key = jax.random.PRNGKey(cfg.seed if cfg.seed else 0)
@@ -479,7 +551,7 @@ def train(
     train_metrics: List[TrainMetrics] = []
     eval_acc: List[EvalMetrics] = []
     pending: List[Tuple] = []  # (loss, occ, fill, rays) device scalars
-    avg_samples_per_ray = float(cfg.n_samples)
+    estimator = BucketEstimator(cfg)
     eval_ptr = 0
     t_start = time.perf_counter()
     rays_total = 0.0
@@ -517,8 +589,9 @@ def train(
         if step_i % cfg.occ_update_every == 0:
             occ_state = occ_update(params, occ_state, kocc)
             occ_frac = renderer.occupancy.occupancy(occ_state)
+            estimator.mark_occupancy_changed()
 
-        bucket = pick_bucket(cfg, avg_samples_per_ray)
+        bucket = estimator.bucket()
         step_fn = get_step(bucket)
 
         params, opt_state, m = step_fn(
@@ -526,15 +599,9 @@ def train(
         )
         pending.append((m["loss"], occ_frac, m["fill"], m["rays_used"]))
         rays_total += bucket * cfg.batch_size
+        estimator.observe(m["fill"], m["rays_used"])
 
         if len(pending) >= 64 or step_i == steps - 1:
-            # update the samples/ray estimator from the most recent step
-            fill_v = float(pending[-1][2])
-            rays_v = float(pending[-1][3])
-            if rays_v > 0:
-                avg_samples_per_ray = max(
-                    1.0, fill_v * cfg.sample_cap / rays_v
-                )
             flush_pending()
             if hasattr(pbar, "set_postfix") and train_metrics:
                 pbar.set_postfix(
