@@ -96,14 +96,29 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # march mode: same policy as the training loop — skip marching once the
+    # demand estimate leaves ample scan-step budget (true at steady state)
+    march = (
+        "skip"
+        if renderer.supports_skip_march and avg_spr <= 0.4 * renderer.skip_steps
+        else "dense"
+    )
+    grid_args = ()
+    if march == "skip":
+        skip_grid = jax.jit(renderer.skip_grid)(occ_state)
+        grid_args = (skip_grid,)
+    print(f"march mode: {march}", file=sys.stderr)
+
     n_cand = bucket * cfg.batch_size
-    step_fn = make_train_step(renderer, optimizer, cfg, mesh, n_cand=n_cand)
+    step_fn = make_train_step(
+        renderer, optimizer, cfg, mesh, n_cand=n_cand, march=march
+    )
 
     def run(n_steps: int, params, opt_state):
         ms = []
         for i in range(n_steps):
             params, opt_state, m = step_fn(
-                params, opt_state, occ_state,
+                params, opt_state, occ_state, *grid_args,
                 pool_o, pool_d, pool_rgb, jax.random.PRNGKey(100 + i),
             )
             ms.append(m["rays_used"])

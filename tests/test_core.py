@@ -54,10 +54,11 @@ def test_marcher_aabb_hits_box():
     t, deltas = m(rays_o, rays_d)
     assert t.shape == deltas.shape == (2, 32)
     assert bool(jnp.all(deltas > 0))
-    # ray starting outside enters at x=-1.5 -> t_min = 1.5
-    np.testing.assert_allclose(float(t[0, 0]), 1.5, atol=1e-5)
-    # ray starting inside clamps to near
-    np.testing.assert_allclose(float(t[1, 0]), 0.1, atol=1e-6)
+    # ray starting outside enters at x=-1.5 -> t_min = 1.5 (+ the 1e-4-step
+    # inward nudge that keeps the first sample off the box-surface knife edge)
+    np.testing.assert_allclose(float(t[0, 0]), 1.5, atol=1e-4 * m.step_size * 1.01)
+    # ray starting inside clamps to near (same nudge)
+    np.testing.assert_allclose(float(t[1, 0]), 0.1, atol=1e-4 * m.step_size * 1.01)
     # uniform spacing = diag/n
     step = np.linalg.norm([3.0, 3.0, 3.0]) / 32
     np.testing.assert_allclose(np.asarray(deltas), step, rtol=1e-5)

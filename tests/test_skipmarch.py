@@ -1,0 +1,184 @@
+"""Empty-space-skipping marcher: conservativeness + exact equivalence with
+the dense (brute-force occupancy query) path.
+
+The skip marcher's contract is EXACTNESS: the emitted sample set must equal
+the dense path's surviving set — including jitter — because the loss and
+quality parity both ride on identical sampling (reference semantics:
+src/core.py:164-188)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinynerf_tpu.core import (
+    ContractionAABB,
+    NerfRenderer,
+    OccupancyGrid,
+    RayMarcherAABB,
+)
+from tinynerf_tpu.core.skipmarch import make_skip_grid, skip_advances, skip_march
+from tinynerf_tpu.models import ColorDecoder, KPlanesFeatureField, OpacityDecoder
+
+AABB = ((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5))
+
+
+def make_renderer(res=16, n_samples=64, skip_steps=None):
+    marcher = RayMarcherAABB(AABB, n_samples=n_samples, near=0.1)
+    field = KPlanesFeatureField(feature_dim_per_plane=4, resolutions=(8, 16))
+    return NerfRenderer(
+        field=field,
+        sigma_decoder=OpacityDecoder(field.feature_dim),
+        rgb_decoder=ColorDecoder(2, field.feature_dim, 16, 1),
+        marcher=marcher,
+        contraction=ContractionAABB(AABB),
+        occupancy=OccupancyGrid.cube(res, marcher.step_size),
+        bg_color=(1.0, 1.0, 1.0),
+        skip_steps=skip_steps or n_samples,
+    )
+
+
+def random_occ(renderer, res, density, seed):
+    occ = renderer.occupancy.init_state()
+    g = (
+        jax.random.uniform(jax.random.PRNGKey(seed), (res, res, res)) < density
+    ).astype(jnp.float32)
+    return occ._replace(grid=g, mean=jnp.float32(g.mean()))
+
+
+def random_rays(n, seed):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = -4.0 * d + rng.normal(size=(n, 3)).astype(np.float32) * 0.3
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_skip_grid_conservative():
+    """A voxel with advance value a certifies that any voxel reachable within
+    the L-inf radius the pool level covered is empty."""
+    res = 16
+    g = (jax.random.uniform(jax.random.PRNGKey(3), (res, res, res)) < 0.08)
+    advances = skip_advances(voxel_w_min=3.0 / (res - 1), step_size=0.1, n_levels=5)
+    grid = np.asarray(make_skip_grid(g, advances))
+    occ = np.asarray(g)
+    # reconstruct the certified radius per advance value
+    adv_to_radius = {}
+    for j, a in enumerate(advances):
+        adv_to_radius[a] = 1 << j  # largest level wins in make_skip_grid
+    for v in np.argwhere(grid > 1):
+        r = adv_to_radius[grid[tuple(v)]]
+        lo = np.maximum(v - r, 0)
+        hi = np.minimum(v + r + 1, res)
+        window = occ[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+        assert not window.any(), f"voxel {v} advance {grid[tuple(v)]} not safe"
+    # occupied voxels are 0
+    assert (grid[occ] == 0).all()
+
+
+@pytest.mark.parametrize("density,seed", [(0.05, 0), (0.3, 1), (0.01, 2)])
+def test_skip_march_equals_dense_mask(density, seed):
+    """Emitted sample set == dense surviving set, with and without jitter."""
+    res, S = 16, 64
+    renderer = make_renderer(res=res, n_samples=S)
+    occ = random_occ(renderer, res, density, seed)
+    o, d = random_rays(256, seed)
+    sg = renderer.skip_grid(occ)
+    marcher = renderer.marcher
+
+    for key in (None, jax.random.PRNGKey(11)):
+        _, _, maskf = renderer._march(o, d, occ, key)
+        dense = np.asarray(maskf > 0)
+        jkey = jax.random.fold_in(key, 0) if key is not None else None
+        t_min, t_exit = marcher.entry_exit(o, d)
+        k_idx, complete = skip_march(
+            o, d, t_min, t_exit, marcher.step_size, S,
+            renderer.contraction, sg, jkey, S,
+        )
+        assert bool(np.asarray(complete).all())  # budget = S: never truncates
+        k_idx = np.asarray(k_idx)
+        skip = np.zeros_like(dense)
+        for r in range(k_idx.shape[0]):
+            ks = k_idx[r][k_idx[r] >= 0]
+            assert (np.diff(ks) > 0).all()  # ascending, no duplicates
+            skip[r, ks] = True
+        np.testing.assert_array_equal(dense, skip)
+
+
+def test_render_packed_skip_equals_dense():
+    res, S = 16, 64
+    renderer = make_renderer(res=res, n_samples=S)
+    params = renderer.init(jax.random.PRNGKey(0))
+    occ = random_occ(renderer, res, 0.05, 4)
+    o, d = random_rays(256, 5)
+    sg = renderer.skip_grid(occ)
+    for key in (None, jax.random.PRNGKey(7)):
+        out_d = renderer.render_packed(params, occ, o, d, cap=4096, key=key)
+        out_s = renderer.render_packed(
+            params, occ, o, d, cap=4096, key=key, march="skip", skip_grid=sg
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_d.rgb), np.asarray(out_s.rgb), atol=1e-5
+        )
+        assert int(out_d.n_samples) == int(out_s.n_samples)
+        np.testing.assert_array_equal(
+            np.asarray(out_d.ray_valid), np.asarray(out_s.ray_valid)
+        )
+
+
+def test_skip_march_truncation_flags_rays_invalid():
+    """With a tiny step budget, rays that cannot finish marching must be
+    flagged invalid (excluded from the loss), never silently truncated."""
+    res, S = 16, 64
+    renderer = make_renderer(res=res, n_samples=S, skip_steps=4)
+    params = renderer.init(jax.random.PRNGKey(0))
+    occ = random_occ(renderer, res, 0.3, 6)  # dense occupancy: blows budget
+    o, d = random_rays(64, 7)
+    sg = renderer.skip_grid(occ)
+    out = renderer.render_packed(
+        params, occ, o, d, cap=4096, key=None, march="skip", skip_grid=sg
+    )
+    # most rays cross far more than 4 occupied samples here
+    assert float(np.asarray(out.ray_valid).mean()) < 0.5
+
+
+def test_train_step_skip_march_mode():
+    """make_train_step(march='skip') runs end-to-end and produces the same
+    loss as the dense step on the identical deterministic batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tinynerf_tpu.parallel import make_mesh
+    from tinynerf_tpu.train import TrainConfig, build_renderer, make_optimizer
+    from tinynerf_tpu.train.loop import make_train_step
+
+    cfg = TrainConfig(
+        method="kplanes", scene_type="aabb", batch_size=64, n_samples=16,
+        occupancy_res=16, steps=2,
+    )
+    renderer = build_renderer(cfg, scene_scale=1.0, bg_color=np.ones(3, np.float32))
+    optimizer = make_optimizer(cfg)
+    params0 = renderer.init(jax.random.PRNGKey(0))
+    occ = random_occ(renderer, 16, 0.1, 8)
+    o, d = random_rays(64, 9)
+    rgb = jnp.asarray(np.random.default_rng(0).uniform(size=(64, 3)).astype(np.float32))
+
+    mesh = make_mesh(jax.devices()[:2])
+    sh = NamedSharding(mesh, P("data"))
+    pools = tuple(jax.device_put(np.asarray(a), sh) for a in (o, d, rgb))
+    sg = renderer.skip_grid(occ)
+
+    losses = {}
+    for march in ("dense", "skip"):
+        step_fn = make_train_step(
+            renderer, optimizer, cfg, mesh, n_cand=64,
+            deterministic=True, march=march,
+        )
+        params = jax.tree_util.tree_map(jnp.array, params0)
+        opt_state = optimizer.init(params)
+        grid_args = (sg,) if march == "skip" else ()
+        _, _, m = step_fn(
+            params, opt_state, occ, *grid_args, *pools, jax.random.PRNGKey(1)
+        )
+        losses[march] = float(m["loss"])
+    assert np.isfinite(losses["dense"])
+    assert np.allclose(losses["dense"], losses["skip"], rtol=1e-5, atol=1e-7)

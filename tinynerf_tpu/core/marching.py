@@ -67,17 +67,31 @@ class RayMarcherAABB:
         hi = np.array(self.aabb[1], dtype=np.float32)
         return float(np.linalg.norm(hi - lo) / self.n_samples)
 
-    def __call__(self, rays_o: jax.Array, rays_d: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def entry_exit(self, rays_o: jax.Array, rays_d: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Slab-test entry/exit distances: (t_min clamped to [near, far],
+        t_exit).  The dense path only consumes t_min (out-of-box samples are
+        culled by the contraction mask); the skip marcher also uses t_exit to
+        terminate rays at the box boundary."""
         eps = 1e-9
         box = jnp.array(self.aabb, dtype=rays_o.dtype)  # [2, 3]
 
-        # slab test: distances to the two planes per axis, take the nearer
-        # plane per axis, then the farthest of those = entry distance
+        # distances to the two planes per axis; nearer plane per axis ->
+        # farthest of those = entry; farther plane per axis -> nearest = exit
         d_safe = jnp.where(rays_d == 0.0, rays_d + eps, rays_d)
         t_planes = (box[:, None, :] - rays_o[None]) / d_safe[None]  # [2, R, 3]
         t_min = jnp.max(jnp.min(t_planes, axis=0), axis=-1)  # [R]
+        t_exit = jnp.min(jnp.max(t_planes, axis=0), axis=-1)  # [R]
         t_min = jnp.clip(t_min, self.near, self.far)
+        # nudge the first sample strictly inside the box: at t_min exactly the
+        # position sits ON the box surface, and the in-box test of that
+        # knife-edge point resolves differently between differently-fused
+        # kernels (1-ulp fma differences) — 1e-4 steps is quality-invisible
+        # and makes the dense and skip marching paths deterministic and equal
+        t_min = t_min + jnp.float32(1e-4 * self.step_size)
+        return t_min, t_exit
 
+    def __call__(self, rays_o: jax.Array, rays_d: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        t_min, _ = self.entry_exit(rays_o, rays_d)
         step = jnp.float32(self.step_size)
         steps = jnp.arange(self.n_samples, dtype=rays_o.dtype) * step
         t_values = t_min[:, None] + steps[None, :]

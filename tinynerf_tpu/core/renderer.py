@@ -36,14 +36,17 @@ from typing import Any, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.cobafa import CobafaFeatureField
+from ..ops.hashrng import hash_u01
 from ..ops.segscan import compute_weights_packed
 from ..ops.weights import compute_weights
 from ..ops.weights_pallas import compute_weights_pallas
 from .contraction import ContractionAABB, ContractionMip360
 from .marching import RayMarcherAABB, RayMarcherUnbounded
 from .occupancy import OccupancyGrid, OccupancyState
+from .skipmarch import make_skip_grid, skip_advances, skip_march
 
 
 class RenderOutput(NamedTuple):
@@ -70,6 +73,12 @@ class NerfRenderer:
     # forward for not holding per-layer activations of cap samples in HBM
     # (needed for the wide vanilla MLP at the full 819k-sample budget)
     remat_field: bool = False
+    # scan-step budget for the empty-space-skipping marcher (core/skipmarch):
+    # each step gathers one skip value per ray; rays needing more steps than
+    # this are flagged incomplete and excluded from the loss.  The training
+    # loop only selects the skip path when the demand estimate leaves ample
+    # margin under this budget.
+    skip_steps: int = 96
 
     # ---------------------------------------------------------------- params
 
@@ -108,16 +117,80 @@ class NerfRenderer:
         return self.sigma_decoder.apply(params["sigma"], feats, self.compute_dtype)
 
     def _march(self, rays_o, rays_d, occ_state, key):
-        """Shared front half: sample positions + validity mask. No grads."""
+        """Shared front half: sample positions + validity mask. No grads.
+
+        Jitter comes from the stateless per-(ray, sample) hash so the dense
+        and skip marching paths produce bit-identical sample positions."""
+        n_rays = rays_o.shape[0]
         t, deltas = self.marcher(rays_o, rays_d)
         if key is not None:
             jkey = jax.random.fold_in(key, 0)
-            t = t + jax.random.uniform(jkey, t.shape, t.dtype) * deltas
+            u = hash_u01(
+                jkey,
+                jnp.arange(n_rays, dtype=jnp.int32)[:, None],
+                jnp.arange(t.shape[1], dtype=jnp.int32)[None, :],
+            )
+            t = t + u * deltas
         pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
         cpos, maskf = self.contraction(pos)
         if self.occupancy is not None and occ_state is not None:
             maskf = maskf * self.occupancy.query(occ_state, cpos)
         return cpos, deltas, maskf
+
+    # ------------------------------------------------------- skip marching
+
+    @property
+    def supports_skip_march(self) -> bool:
+        return (
+            isinstance(self.marcher, RayMarcherAABB)
+            and isinstance(self.contraction, ContractionAABB)
+            and self.occupancy is not None
+        )
+
+    def _skip_advances(self):
+        lo, hi = (np.asarray(v, np.float32) for v in self.contraction.aabb)
+        sizes = np.asarray(self.occupancy.size, np.float32)
+        w_min = float(np.min((hi - lo) / np.maximum(sizes - 1.0, 1.0)))
+        n_levels = int(np.ceil(np.log2(float(np.max(sizes))))) + 1
+        return skip_advances(w_min, self.marcher.step_size, n_levels)
+
+    def skip_grid(self, occ_state: OccupancyState) -> jax.Array:
+        """Precompute the skip grid from the (thresholded) occupancy state.
+
+        Recomputed once per occupancy update by the training loop and fed to
+        `render_packed(march="skip")`; a pure function of the state, so it is
+        never checkpointed."""
+        assert self.supports_skip_march
+        thr = self.occupancy._threshold(occ_state)
+        return make_skip_grid(occ_state.grid > thr, self._skip_advances())
+
+    def _march_skip(self, rays_o, rays_d, skip_grid, key):
+        """Skip-marching front half: candidate grid [R, skip_steps] whose
+        valid entries are EXACTLY the dense path's surviving samples, plus a
+        per-ray completeness flag (False = step budget exhausted)."""
+        jkey = jax.random.fold_in(key, 0) if key is not None else None
+        t_min, t_exit = self.marcher.entry_exit(rays_o, rays_d)
+        k_idx, complete = skip_march(
+            rays_o, rays_d, t_min, t_exit,
+            self.marcher.step_size, self.marcher.n_samples,
+            self.contraction, skip_grid, jkey, self.skip_steps,
+        )
+        maskb = k_idx >= 0
+        kk = jnp.maximum(k_idx, 0)
+        if jkey is not None:
+            n_rays = rays_o.shape[0]
+            u = hash_u01(
+                jkey, jnp.arange(n_rays, dtype=jnp.int32)[:, None], kk
+            )
+        else:
+            u = jnp.float32(0.0)
+        t = t_min[:, None] + (kk.astype(jnp.float32) + u) * jnp.float32(
+            self.marcher.step_size
+        )
+        pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+        cpos, _ = self.contraction(pos)
+        deltas = jnp.full(kk.shape, self.marcher.step_size, jnp.float32)
+        return cpos, deltas, maskb.astype(jnp.float32), complete
 
     def _composite(self, weighted_rgb_sum, opacity):
         if self.bg_color is not None:
@@ -164,12 +237,31 @@ class NerfRenderer:
         rays_d: jax.Array,
         cap: int,
         key: Optional[jax.Array] = None,
+        march: str = "dense",
+        skip_grid: Optional[jax.Array] = None,
     ) -> RenderOutput:
+        """Fixed-capacity packed rendering.
+
+        `march="dense"` evaluates the validity mask at all n_samples marched
+        positions (the reference's semantics, brute force).  `march="skip"`
+        uses the empty-space-skipping marcher (core/skipmarch.py) with the
+        precomputed `skip_grid` — the same surviving-sample set found in
+        ~skip_steps scan steps per ray instead of n_samples point queries;
+        rays that exhaust the step budget are flagged invalid for the loss.
+        """
         n_rays = rays_o.shape[0]
-        n_samples = self.marcher.n_samples
+        if march == "skip":
+            assert skip_grid is not None, "march='skip' needs a skip_grid"
+            cpos, deltas, maskf, complete = self._march_skip(
+                rays_o, rays_d, skip_grid, key
+            )
+            n_samples = self.skip_steps  # candidate-grid width
+        else:
+            cpos, deltas, maskf = self._march(rays_o, rays_d, occ_state, key)
+            complete = None
+            n_samples = self.marcher.n_samples
         total = n_rays * n_samples
 
-        cpos, deltas, maskf = self._march(rays_o, rays_d, occ_state, key)
         dkey = jax.random.fold_in(key, 1) if key is not None else None
         maskb = maskf > 0.0
 
@@ -241,10 +333,14 @@ class NerfRenderer:
 
         # --- rays whose samples spilled past `cap` are excluded from loss;
         # zero-sample rays render exact bg regardless of position, so they
-        # always stay valid (they supervise toward the background)
+        # always stay valid (they supervise toward the background).  Skip-
+        # marched rays that ran out of scan steps are likewise excluded
+        # (their sample set is incomplete).
         counts = jnp.sum(maskb, axis=-1)
         ends = jnp.cumsum(counts)
         ray_valid = ((ends <= cap) | (counts == 0)).astype(jnp.float32)
+        if complete is not None:
+            ray_valid = ray_valid * complete.astype(jnp.float32)
 
         return RenderOutput(
             rgb=self._composite(acc_rgb, opacity),

@@ -11,18 +11,29 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Trace-time A/B switch for the deviation-parity matrix (BASELINE.md): True =
+# this framework's forward clamp; False = the reference's unclamped forward
+# (src/models.py:47).  Read when a train step is traced, not per call.
+FORWARD_CLAMP = True
+
+
+def _fwd_value(x):
+    if FORWARD_CLAMP:
+        # the forward also clamps (the reference's does not): exp(15) ~ 3.3e6
+        # is far past opaque for any step size, and an unclamped forward
+        # overflows to inf under aggressive learning rates (observed),
+        # poisoning the whole pipeline with NaNs
+        return jnp.exp(jnp.clip(x, -15.0, 15.0))
+    return jnp.exp(x)
+
 
 @jax.custom_vjp
 def truncated_exp(x: jax.Array) -> jax.Array:
-    # the forward also clamps (the reference's does not, src/models.py:47):
-    # exp(15) ~ 3.3e6 is far past opaque for any step size, and an unclamped
-    # forward overflows to inf under aggressive learning rates (observed),
-    # poisoning the whole pipeline with NaNs
-    return jnp.exp(jnp.clip(x, -15.0, 15.0))
+    return _fwd_value(x)
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(jnp.clip(x, -15.0, 15.0)), x
+    return _fwd_value(x), x
 
 
 def _trunc_exp_bwd(x, g):

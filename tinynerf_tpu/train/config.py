@@ -36,6 +36,15 @@ class TrainConfig:
     occupancy_threshold: float = 0.01
     # decay: a voxel must be seen empty 16 times to die (0.01 ** (1/16))
     occupancy_decay: Optional[float] = None
+    # query interpolation: "nearest" (Instant-NGP standard, 1 gather/point) or
+    # "trilinear" (the reference's grid_sample semantics, src/core.py:151)
+    occupancy_interp: str = "nearest"
+
+    # True = apply weight decay to raw feature tables too (the reference
+    # decays everything, src/run.py:186); False (default) masks tables out of
+    # decay — under Adam a constant decay direction on sparsely-supervised
+    # table cells steps at full lr and flattens the tables (field collapse)
+    decay_tables: bool = False
 
     # None = method-dependent default: 1e-2 for K-Planes (reference value,
     # src/run.py:110), 1e-3 for the MLP-dominated fields — the reference
@@ -70,6 +79,12 @@ class TrainConfig:
     # utilization between bucket steps
     bucket_overfill: float = 1.15
     early_termination: float = 1e-4
+    # marching strategy: "auto" picks the empty-space-skipping marcher
+    # (core/skipmarch.py) whenever the scene supports it AND the demand
+    # estimate leaves ample step budget (early training = dense); "dense" /
+    # "skip" force one path.  skip_steps = scan-step budget per ray.
+    march: str = "auto"  # auto | dense | skip
+    skip_steps: int = 96
     # checkpointing cadence (0 = only at the end); resume picks up latest
     checkpoint_every: int = 0
     # profiling: capture a jax.profiler trace of steps [start, start+count)

@@ -112,6 +112,7 @@ def build_renderer(cfg: TrainConfig, scene_scale: float, bg_color) -> NerfRender
         marcher.step_size,
         threshold=cfg.occupancy_threshold,
         decay=cfg.occ_decay,
+        interp=cfg.occupancy_interp,
     )
 
     return NerfRenderer(
@@ -127,6 +128,7 @@ def build_renderer(cfg: TrainConfig, scene_scale: float, bg_color) -> NerfRender
         # the wide vanilla MLP would hold ~8 GB of activations at the full
         # sample budget; remat keeps it to one layer's worth
         remat_field=(cfg.method == "vanilla"),
+        skip_steps=min(cfg.skip_steps, cfg.n_samples),
     )
 
 
@@ -163,8 +165,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     matching torch Adam(weight_decay=...) + MultiStepLR semantics (decay
     masked off the feature tables — see _decay_mask)."""
     schedule = lr_schedule(cfg)
+    decay_mask = None if cfg.decay_tables else _decay_mask
     return optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
+        optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
         optax.scale_by_adam(eps=cfg.adam_eps),
         optax.scale_by_learning_rate(schedule),
     )
@@ -180,11 +183,14 @@ def make_train_step(
     mesh: Mesh,
     n_cand: int,
     deterministic: bool = False,
+    march: str = "dense",
 ):
     """One compiled train step for a given candidate-ray count `n_cand`.
 
     Returns fn(params, opt_state, occ_state, pool_o, pool_d, pool_rgb, key)
-    -> (params, opt_state, metrics-dict of replicated scalars).
+    -> (params, opt_state, metrics-dict of replicated scalars); with
+    march="skip" the step takes an extra `skip_grid` argument after
+    occ_state (precomputed by renderer.skip_grid at each occupancy update).
 
     `deterministic=True` (tests only) replaces the per-device rng batch with
     each device's leading pool-shard rays and disables sample jitter, so a
@@ -196,19 +202,28 @@ def make_train_step(
     local_cand = n_cand // n_dev
     assert cfg.sample_cap % n_dev == 0
     local_cap = cfg.sample_cap // n_dev
+    use_skip = march == "skip"
 
     has_reg = cfg.method == "kplanes" and (
         cfg.tv_reg_alpha != 0.0 or cfg.l1_reg_alpha != 0.0
     )
 
+    grid_specs = (P(),) if use_skip else ()
+
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        in_specs=(P(), P()) + grid_specs
+        + (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    def data_grads(params, occ_state, pool_o, pool_d, pool_rgb, key):
+    def data_grads(params, occ_state, *rest):
+        if use_skip:
+            skip_grid, pool_o, pool_d, pool_rgb, key = rest
+        else:
+            skip_grid = None
+            pool_o, pool_d, pool_rgb, key = rest
         if deterministic:
             rays_o, rays_d, rgbs = (
                 pool_o[:local_cand], pool_d[:local_cand], pool_rgb[:local_cand]
@@ -224,7 +239,8 @@ def make_train_step(
 
         def data_loss(p):
             out = renderer.render_packed(
-                p, occ_state, rays_o, rays_d, local_cap, key=krender
+                p, occ_state, rays_o, rays_d, local_cap, key=krender,
+                march=march, skip_grid=skip_grid,
             )
             per_ray_mse = jnp.mean((out.rgb - rgbs) ** 2, axis=-1)
             num = jnp.sum(per_ray_mse * out.ray_valid)
@@ -243,10 +259,8 @@ def make_train_step(
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         return loss, grads, den, n_filled
 
-    def step(params, opt_state, occ_state, pool_o, pool_d, pool_rgb, key):
-        loss, grads, rays_used, n_filled = data_grads(
-            params, occ_state, pool_o, pool_d, pool_rgb, key
-        )
+    def step(params, opt_state, occ_state, *rest):
+        loss, grads, rays_used, n_filled = data_grads(params, occ_state, *rest)
 
         if has_reg:
             def reg_fn(p):
@@ -530,15 +544,36 @@ def train(
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     print(f"Using {cfg.method} with {n_params} parameters on {n_dev} device(s).")
 
-    # ---- per-bucket compiled steps (lazy)
-    steps_by_bucket: Dict[int, object] = {}
+    # ---- per-(bucket, march-mode) compiled steps (lazy)
+    steps_by_key: Dict[Tuple[int, str], object] = {}
 
-    def get_step(bucket: int):
-        if bucket not in steps_by_bucket:
-            steps_by_bucket[bucket] = make_train_step(
-                renderer, optimizer, cfg, mesh, n_cand=bucket * cfg.batch_size
+    def get_step(bucket: int, march: str):
+        k = (bucket, march)
+        if k not in steps_by_key:
+            steps_by_key[k] = make_train_step(
+                renderer, optimizer, cfg, mesh,
+                n_cand=bucket * cfg.batch_size, march=march,
             )
-        return steps_by_bucket[bucket]
+        return steps_by_key[k]
+
+    # march-mode policy: the skip marcher pays off (and stays within its
+    # per-ray step budget) only once culling leaves ample margin; early
+    # training (everything occupied) uses the dense path
+    can_skip = renderer.supports_skip_march and cfg.march != "dense"
+
+    def pick_march() -> str:
+        if not can_skip:
+            return "dense"
+        if cfg.march == "skip":
+            return "skip"
+        return (
+            "skip"
+            if estimator.avg_samples_per_ray <= 0.4 * renderer.skip_steps
+            else "dense"
+        )
+
+    skip_fn = jax.jit(renderer.skip_grid) if can_skip else None
+    skip_grid = skip_fn(occ_state) if can_skip else None
 
     occ_update = make_occupancy_update(
         renderer, mesh if cfg.occupancy_res % n_dev == 0 else None
@@ -589,13 +624,18 @@ def train(
         if step_i % cfg.occ_update_every == 0:
             occ_state = occ_update(params, occ_state, kocc)
             occ_frac = renderer.occupancy.occupancy(occ_state)
+            if can_skip:
+                skip_grid = skip_fn(occ_state)
             estimator.mark_occupancy_changed()
 
         bucket = estimator.bucket()
-        step_fn = get_step(bucket)
+        march = pick_march()
+        step_fn = get_step(bucket, march)
 
+        grid_args = (skip_grid,) if march == "skip" else ()
         params, opt_state, m = step_fn(
-            params, opt_state, occ_state, pool_o, pool_d, pool_rgb, kstep
+            params, opt_state, occ_state, *grid_args,
+            pool_o, pool_d, pool_rgb, kstep,
         )
         pending.append((m["loss"], occ_frac, m["fill"], m["rays_used"]))
         rays_total += bucket * cfg.batch_size

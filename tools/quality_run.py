@@ -36,6 +36,18 @@ def main():
     ap.add_argument("--lr", type=float, default=None,
                     help="None = method-dependent default")
     ap.add_argument("--tv", type=float, default=1e-4)
+    # --- deviation-parity switches (BASELINE.md matrix) ---
+    ap.add_argument("--init-range", default=None,
+                    help="kplanes plane init, e.g. '0,1' (reference) or "
+                         "'0.5,1.5' (ours, the default)")
+    ap.add_argument("--occ-interp", default=None,
+                    choices=[None, "nearest", "trilinear"],
+                    help="occupancy query interp (reference: trilinear)")
+    ap.add_argument("--decay-tables", action="store_true",
+                    help="weight-decay feature tables too (reference does)")
+    ap.add_argument("--no-fwd-clamp", action="store_true",
+                    help="unclamped truncated_exp forward (reference)")
+    ap.add_argument("--seed", type=int, default=1)
     args = ap.parse_args()
 
     import numpy as np
@@ -60,14 +72,21 @@ def main():
         steps=args.steps,
         occupancy_res=64,
         occupancy_threshold=args.occ_threshold,
+        occupancy_interp=args.occ_interp or "nearest",
+        decay_tables=args.decay_tables,
         lr_init=args.lr,
         tv_reg_alpha=args.tv,
-        seed=1,
+        seed=args.seed,
         compute_dtype=args.dtype,
     )
 
-    # optionally override the field's lookup strategy via the registry
-    if args.lookup or args.gather_dtype:
+    if args.no_fwd_clamp:
+        from tinynerf_tpu.ops import trunc_exp
+
+        trunc_exp.FORWARD_CLAMP = False
+
+    # optionally override field construction knobs via the registry
+    if args.lookup or args.gather_dtype or args.init_range:
         from tinynerf_tpu.models import registry
 
         orig = registry.make_model
@@ -79,6 +98,9 @@ def main():
                 kw["lookup_mode"] = args.lookup
             if args.gather_dtype and hasattr(field, "gather_dtype"):
                 kw["gather_dtype"] = args.gather_dtype
+            if args.init_range and hasattr(field, "init_range"):
+                lo, hi = (float(v) for v in args.init_range.split(","))
+                kw["init_range"] = (lo, hi)
             if kw:
                 field = replace(field, **kw)
             return field, sd, rd
@@ -95,9 +117,21 @@ def main():
     ssims = [m.ssim for m in out["test_metrics"]]
     first_loss = out["train_metrics"][0].loss
     last_loss = out["train_metrics"][-1].loss
+    dev = []
+    if args.init_range:
+        dev.append(f"init={args.init_range}")
+    if args.occ_interp:
+        dev.append(f"occ={args.occ_interp}")
+    if args.decay_tables:
+        dev.append("decay_tables")
+    if args.no_fwd_clamp:
+        dev.append("no_fwd_clamp")
+    if args.lr is not None:
+        dev.append(f"lr={args.lr}")
     print(
         f"RESULT scene={args.scene} method={args.method} lookup={args.lookup or 'default'} "
         f"gather={args.gather_dtype or 'default'} dtype={args.dtype} steps={args.steps} "
+        f"deviations=[{','.join(dev) or 'none'}] "
         f"loss {first_loss:.4f}->{last_loss:.5f} "
         f"test PSNR {np.mean(psnrs):.2f} dB  SSIM {np.mean(ssims):.3f} "
         f"rays/s/chip {out['rays_per_sec_per_chip']:.0f}"
