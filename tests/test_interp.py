@@ -117,3 +117,68 @@ def test_occupancy_nearest_vs_trilinear_agree_deep_inside():
     np.testing.assert_array_equal(
         np.asarray(near.query(state, pts)), np.asarray(tri.query(state, pts))
     )
+
+
+# -------------------------------------------------- exact upsampling / fusion
+
+def test_upsample2x_exact_reproduces_bilinear():
+    """Bilinear lookup of the 2x-upsampled table equals lookup of the
+    original at arbitrary points (nested align_corners grids)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tinynerf_tpu.ops import bilinear_lookup
+    from tinynerf_tpu.ops.interp import upsample2x_exact, upsample_to
+
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (9, 9, 4))
+    fine = upsample2x_exact(table)
+    assert fine.shape == (17, 17, 4)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (200, 2), minval=-1, maxval=1)
+    np.testing.assert_allclose(
+        np.asarray(bilinear_lookup(table, pts)),
+        np.asarray(bilinear_lookup(fine, pts)),
+        atol=1e-5,
+    )
+    # chain 9 -> 33
+    fine2 = upsample_to(table, 33, 33)
+    np.testing.assert_allclose(
+        np.asarray(bilinear_lookup(table, pts)),
+        np.asarray(bilinear_lookup(fine2, pts)),
+        atol=1e-5,
+    )
+
+
+def test_kplanes_fused_equals_per_scale():
+    """The fused (one-lookup-per-projection) K-Planes apply matches the
+    per-scale quad path, forward and backward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dataclasses import replace
+    from tinynerf_tpu.models import KPlanesFeatureField
+
+    field = KPlanesFeatureField(
+        feature_dim_per_plane=4, resolutions=(9, 17, 33),
+        lookup_mode="fused", gather_dtype="float32",
+    )
+    params = field.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (500, 3), minval=-1, maxval=1)
+
+    ref_field = replace(field, lookup_mode="quad")
+    np.testing.assert_allclose(
+        np.asarray(field.apply(params, x)),
+        np.asarray(ref_field.apply(params, x)),
+        atol=2e-5,
+    )
+
+    def loss_fused(p):
+        return jnp.sum(field.apply(p, x) ** 2)
+
+    def loss_quad(p):
+        return jnp.sum(ref_field.apply(p, x) ** 2)
+
+    g_f = jax.grad(loss_fused)(params)
+    g_q = jax.grad(loss_quad)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)

@@ -30,8 +30,9 @@ def test_native_matches_pil(png_paths):
     out = native.load_images(png_paths, (1.0, 1.0, 1.0))
     for i, p in enumerate(png_paths):
         pil = _load_image_rgb(p, (255, 255, 255))
-        # PIL composites in uint8 (rounding); native in float -> <=1 LSB apart
-        np.testing.assert_allclose(out[i], pil, atol=1.5 / 255.0)
+        # the native loader ports Pillow's integer compositing exactly, so
+        # results are bit-identical to the PIL fallback
+        np.testing.assert_array_equal(out[i], pil)
 
 
 def test_native_nonexistent_file():

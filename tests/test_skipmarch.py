@@ -25,7 +25,7 @@ AABB = ((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5))
 
 def make_renderer(res=16, n_samples=64, skip_steps=None):
     marcher = RayMarcherAABB(AABB, n_samples=n_samples, near=0.1)
-    field = KPlanesFeatureField(feature_dim_per_plane=4, resolutions=(8, 16))
+    field = KPlanesFeatureField(feature_dim_per_plane=4, resolutions=(9, 17))
     return NerfRenderer(
         field=field,
         sigma_decoder=OpacityDecoder(field.feature_dim),

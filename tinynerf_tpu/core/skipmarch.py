@@ -66,13 +66,14 @@ def _maxpool_shift(x: jax.Array, radius: int) -> jax.Array:
 def skip_advances(voxel_w_min: float, step_size: float, n_levels: int) -> Tuple[int, ...]:
     """Safe sample-advance per pool level.
 
-    Level j certifies every voxel within Chebyshev radius 2^j is empty.  A
-    jittered sample k+m lies within m*step_size of the current jittered
-    sample, i.e. within floor(m*step/w)+1 voxels, so skipping m samples is
-    safe when m <= (2^j - 1) * w / step.
+    Level j certifies every voxel within Chebyshev radius r = 2^j of the
+    current sample's voxel is empty.  A jittered sample k+i (i < m, all
+    SKIPPED, the visited k+m is queried) lies within m*step of the current
+    jittered sample, i.e. within floor(m*step/w)+1 voxels, so skipping is
+    safe while m*step < r*w: m = ceil(r*w/step) - 1.
     """
     return tuple(
-        max(1, int(np.floor(((1 << j) - 1) * voxel_w_min / step_size)))
+        max(1, int(np.ceil((1 << j) * voxel_w_min / step_size)) - 1)
         for j in range(n_levels)
     )
 
@@ -128,8 +129,7 @@ def skip_march(
         jnp.floor((t_exit - t_min) / delta) + 2.0, 0.0, float(n_samples)
     ).astype(jnp.int32)
 
-    def body(carry, _):
-        k, done = carry
+    def one_round(k, done):
         kk = jnp.minimum(k, n_samples - 1)
         if key is not None:
             u = hash_u01(key, ray_ids, kk)
@@ -144,7 +144,7 @@ def skip_march(
             jnp.round((cpos + 1.0) * 0.5 * res), 0.0, res
         ).astype(jnp.int32)
         vox = (idx[:, 0] * r1 + idx[:, 1]) * r2 + idx[:, 2]
-        g = flat_grid[vox]  # ONE gather per ray per step
+        g = flat_grid[vox]  # ONE gather per ray per round
 
         active = ~done & (k < k_end)
         emit = active & (g == 0) & (inbox > 0.0)
@@ -152,8 +152,24 @@ def skip_march(
         k_next = jnp.where(active, k + adv, k)
         done_next = done | (k_next >= k_end)
         y = jnp.where(emit, kk, jnp.int32(-1))
-        return (k_next, done_next), y
+        return k_next, done_next, y
+
+    # 2 rounds per scan iteration: halves loop-carry overhead without
+    # changing the visit sequence (outputs stay per-round)
+    unroll = 2 if n_steps % 2 == 0 else 1
+
+    def body(carry, _):
+        k, done = carry
+        ys = []
+        for _ in range(unroll):
+            k, done, y = one_round(k, done)
+            ys.append(y)
+        return (k, done), jnp.stack(ys)  # [unroll, R]
 
     init = (jnp.zeros(R, jnp.int32), jnp.zeros(R, bool))
-    (k_fin, done_fin), ys = jax.lax.scan(body, init, None, length=n_steps)
-    return ys.T, done_fin
+    (k_fin, done_fin), ys = jax.lax.scan(
+        body, init, None, length=n_steps // unroll
+    )
+    # [n_iters, unroll, R] -> [R, n_steps], round order preserved per ray
+    k_idx = ys.reshape(n_steps, R).T
+    return k_idx, done_fin

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..ops.interp import (
     bilinear_lookup,
     bilinear_lookup_mixed,
+    bilinear_lookup_multiscale,
     bilinear_lookup_quad,
 )
 from ..ops.trunc_exp import truncated_exp
@@ -40,7 +41,11 @@ DIMENSION_PAIRS: Tuple[Tuple[int, int], ...] = ((0, 1), (0, 2), (1, 2))
 @dataclass(frozen=True)
 class KPlanesFeatureField:
     feature_dim_per_plane: int = 32
-    resolutions: Tuple[int, ...] = (128, 256, 512)
+    # nested resolutions ((r-1) doubling chain) so the "fused" lookup can
+    # upsample all scales onto one fine grid EXACTLY; the reference uses
+    # (128, 256, 512) (src/models.py:126-142) — +1 is a quality-neutral
+    # layout deviation (0.8% more parameters), A/B'd in BASELINE.md
+    resolutions: Tuple[int, ...] = (129, 257, 513)
     # plane init range. The reference uses torch's uniform_ = U(0,1)
     # (src/models.py:99), but the multiplicative combination is self-killing
     # under that init: early background pressure shrinks all planes toward 0,
@@ -50,11 +55,15 @@ class KPlanesFeatureField:
     # products near 1 — the K-Planes paper's identity-at-init intent.
     init_range: Tuple[float, float] = (0.5, 1.5)
     # lookup strategy (see ops/interp.py):
-    #   "quad"  — cell-packed rows: ONE gather + ONE scatter row per sample
-    #             (TPU scatters are row-count-limited; ~3x faster backward)
+    #   "fused" — all scales of a projection exactly upsampled onto one fine
+    #             grid, cell-packed: ONE gather + ONE scatter row per sample
+    #             PER PROJECTION (3 total instead of 9; scatters are
+    #             row-count-limited).  Requires nested resolutions.
+    #   "quad"  — cell-packed rows per plane: one gather/scatter row per
+    #             sample per plane (9 total)
     #   "mixed" — 4 corner-row gathers fwd, exact f32 scatter bwd
     #   "plain" — straight autodiff (f32 everywhere)
-    lookup_mode: str = "quad"
+    lookup_mode: str = "fused"
     # "bfloat16" halves forward gather bytes (the gather path is
     # byte-rate-limited); "float32" for exact forward
     gather_dtype: str = "bfloat16"
@@ -89,6 +98,8 @@ class KPlanesFeatureField:
     def apply(self, params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
         """x: [..., 3] in [-1,1] -> [..., feature_dim]."""
         gd = jnp.bfloat16 if self.gather_dtype == "bfloat16" else jnp.float32
+        if self.lookup_mode == "fused":
+            return self._apply_fused(params, x, gd, compute_dtype)
         if self.lookup_mode == "quad":
             lookup = lambda p, c: bilinear_lookup_quad(p, c, gd)
         elif self.lookup_mode == "mixed":
@@ -102,6 +113,35 @@ class KPlanesFeatureField:
             for (i, j), plane in zip(DIMENSION_PAIRS, scale_planes):
                 v = lookup(plane, x[..., jnp.array((i, j))])
                 acc = v if acc is None else acc * v
+            features.append(acc)
+        return jnp.concatenate(features, axis=-1).astype(compute_dtype)
+
+    def _apply_fused(self, params, x, gather_dtype, compute_dtype):
+        """Multiscale lookup per PROJECTION (ops/interp.py
+        bilinear_lookup_multiscale): per-scale narrow gathers forward, ONE
+        wide scatter per projection backward (expressed through the exactly-
+        upsampled fused fine table, whose gradient is pulled back to the
+        per-scale master tables through the upsampling transpose).  Requires
+        nested resolutions; identical values/gradients to per-scale lookups
+        up to f32 rounding."""
+        n_scales = len(self.resolutions)
+        f = self.feature_dim_per_plane
+        per_proj = []
+        for p_idx, (i, j) in enumerate(DIMENSION_PAIRS):
+            tables = tuple(
+                params["planes"][s][p_idx] for s in range(n_scales)
+            )
+            per_proj.append(
+                bilinear_lookup_multiscale(
+                    tables, x[..., jnp.array((i, j))], gather_dtype
+                )
+            )
+        features = []
+        for s in range(n_scales):
+            acc = None
+            for v in per_proj:
+                vs = v[..., s * f : (s + 1) * f]
+                acc = vs if acc is None else acc * vs
             features.append(acc)
         return jnp.concatenate(features, axis=-1).astype(compute_dtype)
 

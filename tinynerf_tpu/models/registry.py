@@ -21,7 +21,7 @@ def make_model(method: str) -> Tuple[object, OpacityDecoder, ColorDecoder]:
     if method == "vanilla":
         field = VanillaFeatureField(n_freqs=10, hidden_features=256, hidden_layers=8)
     elif method == "kplanes":
-        field = KPlanesFeatureField(feature_dim_per_plane=32, resolutions=(128, 256, 512))
+        field = KPlanesFeatureField(feature_dim_per_plane=32, resolutions=(129, 257, 513))
     elif method == "cobafa":
         field = CobafaFeatureField(
             basis_res=tuple(int(r) for r in np.linspace(32.0, 128.0, 6)),

@@ -123,13 +123,25 @@ int tn_load_pngs(const char** paths, int n, int w, int h, float bg_r,
       }
       float* dst = out + static_cast<size_t>(i) * h * w * 3;
       const uint8_t* src = img.rgba.data();
-      const float inv255 = 1.0f / 255.0f;
+      // Pillow AlphaComposite.c integer math (PRECISION_BITS = 7) with an
+      // opaque destination — bit-identical to the PIL fallback
+      // (Image.alpha_composite + convert("RGB") + /255), so training inputs
+      // do not depend on whether the native toolchain is available.
+      constexpr int kPB = 7;
+      uint32_t bg_u8[3];
+      for (int c = 0; c < 3; ++c) {
+        float b = bg[c] * 255.0f;
+        bg_u8[c] = static_cast<uint32_t>(b < 0 ? 0 : (b > 255 ? 255 : b + 0.5f));
+      }
       for (size_t p = 0, np = static_cast<size_t>(w) * h; p < np; ++p) {
-        const float a = src[4 * p + 3] * inv255;
+        const uint32_t a = src[4 * p + 3];
+        const uint32_t coef1 = (a * 255u * 255u * (1u << kPB)) / (255u * 255u);
+        const uint32_t coef2 = 255u * (1u << kPB) - coef1;
         for (int c = 0; c < 3; ++c) {
-          const float v = src[4 * p + c] * inv255;
-          // composite over bg, matching PIL alpha_composite + /255 semantics
-          dst[3 * p + c] = v * a + bg[c] * (1.0f - a);
+          const uint32_t v = src[4 * p + c];
+          uint32_t tmp = v * coef1 + bg_u8[c] * coef2 + (0x80u << kPB);
+          const uint32_t q = (tmp + (tmp >> 8)) >> (8 + kPB);
+          dst[3 * p + c] = static_cast<float>(q) / 255.0f;
         }
       }
     }

@@ -342,6 +342,122 @@ def _trilinear_oct_bwd(gather_dtype, res, g):
 trilinear_lookup_oct.defvjp(_trilinear_oct_fwd, _trilinear_oct_bwd)
 
 
+# --------------------------------------------------------------------------
+# Exact 2x upsampling for nested align_corners grids.  A bilinear interpolant
+# on an (r, r) table is reproduced EXACTLY by bilinear interpolation of its
+# samples on a (2r-1, 2r-1) grid (the fine grid's nodes are the coarse nodes
+# plus edge/cell midpoints, and a bilinear function is determined by any
+# cell's corners).  This is what lets multiple K-Planes scales share ONE
+# gather row forward and ONE scatter row backward (models/kplanes.py "fused"
+# mode): TPU scatters are ROW-count-limited, so fusing 3 scales per
+# projection cuts the dominant backward cost ~2x.
+# --------------------------------------------------------------------------
+
+
+def _upsample2x_axis0(x: jax.Array) -> jax.Array:
+    """[r, ...] -> [2r-1, ...]: nodes kept, midpoints averaged in."""
+    mid = 0.5 * (x[:-1] + x[1:])
+    inter = jnp.stack([x[:-1], mid], axis=1).reshape(
+        2 * (x.shape[0] - 1), *x.shape[1:]
+    )
+    return jnp.concatenate([inter, x[-1:]], axis=0)
+
+
+def upsample2x_exact(table: jax.Array) -> jax.Array:
+    """[r0, r1, F] -> [2*r0-1, 2*r1-1, F], exact for bilinear interpolation."""
+    t = _upsample2x_axis0(table)
+    return jnp.swapaxes(_upsample2x_axis0(jnp.swapaxes(t, 0, 1)), 0, 1)
+
+
+def upsample_to(table: jax.Array, r0: int, r1: int) -> jax.Array:
+    """Repeated exact 2x upsampling up to (r0, r1); requires a power-of-two
+    nesting chain ((target-1) = 2^k * (source-1))."""
+    while table.shape[0] < r0 or table.shape[1] < r1:
+        table = upsample2x_exact(table)
+    assert table.shape[:2] == (r0, r1), (
+        f"resolutions do not nest: got {table.shape[:2]}, want {(r0, r1)}"
+    )
+    return table
+
+
+# --------------------------------------------------------------------------
+# Multiscale lookup: one custom VJP over ALL scales of a projection.
+#
+# Forward: per-scale cell-packed lookups (narrow rows — gathers are
+# byte-limited, so fusing scales buys nothing forward).
+# Backward: gradients are computed AS IF the forward had used the exactly-
+# upsampled fused fine table (valid because the two representations are the
+# same function): one scatter of [4 * n_scales * F]-wide rows per sample into
+# the fused quad-gradient — TPU scatters are ROW-count-limited, so one wide
+# scatter replaces n_scales narrow ones — then the fine gradient is pulled
+# back through the (linear) upsampling transpose to each master table.
+# Coordinate cotangents are ZERO (sample coords come from no-grad marching).
+# --------------------------------------------------------------------------
+
+
+def _quad_lookup_fwd_value(table, coords, gather_dtype):
+    r0, r1, f = table.shape
+    quad = _build_quad(table, gather_dtype)
+    cell, w = _cell_2d(coords, r0, r1)
+    rows = jnp.take(quad, cell, axis=0).astype(jnp.float32)
+    vals = rows.reshape(*cell.shape, 4, f)
+    return jnp.sum(vals * w[..., None], axis=-2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bilinear_lookup_multiscale(tables, coords, gather_dtype=jnp.bfloat16):
+    """tables: tuple of [r_s, r_s, F] planes whose (r-1) nest by powers of
+    two; coords [..., 2] in [-1,1].  Returns the feature-wise concat of the
+    per-scale bilinear lookups, [..., n_scales * F]."""
+    return jnp.concatenate(
+        [_quad_lookup_fwd_value(t, coords, gather_dtype) for t in tables],
+        axis=-1,
+    )
+
+
+def _multiscale_fwd(tables, coords, gather_dtype):
+    return bilinear_lookup_multiscale(tables, coords, gather_dtype), (
+        tables,
+        coords,
+    )
+
+
+def _multiscale_bwd(gather_dtype, res, g):
+    tables, coords = res
+    r_fine = max(t.shape[0] for t in tables)
+    f_tot = sum(t.shape[-1] for t in tables)
+    cell, w = _cell_2d(coords, r_fine, r_fine)
+    # corner-major rows [c0(f_tot), c1, c2, c3]
+    contrib = (w[..., :, None] * g[..., None, :]).reshape(-1, 4 * f_tot)
+    n_cells = (r_fine - 1) * (r_fine - 1)
+    gq = (
+        jnp.zeros((n_cells, 4 * f_tot), jnp.float32)
+        .at[cell.reshape(-1)]
+        .add(contrib)
+    ).reshape(r_fine - 1, r_fine - 1, 4, f_tot)
+    fine = jnp.zeros((r_fine, r_fine, f_tot), jnp.float32)
+    fine = fine.at[:-1, :-1].add(gq[:, :, 0])
+    fine = fine.at[:-1, 1:].add(gq[:, :, 1])
+    fine = fine.at[1:, :-1].add(gq[:, :, 2])
+    fine = fine.at[1:, 1:].add(gq[:, :, 3])
+    grads = []
+    off = 0
+    for t in tables:
+        sl = fine[..., off : off + t.shape[-1]]
+        off += t.shape[-1]
+        if t.shape[0] == r_fine:
+            grads.append(sl)
+        else:
+            _, pullback = jax.vjp(
+                lambda tt: upsample_to(tt, r_fine, r_fine), jnp.zeros_like(t)
+            )
+            grads.append(pullback(sl)[0])
+    return tuple(grads), jnp.zeros_like(coords)
+
+
+bilinear_lookup_multiscale.defvjp(_multiscale_fwd, _multiscale_bwd)
+
+
 def sawtooth(x: jax.Array, f: float) -> jax.Array:
     """Periodic tiling encoding: 2*((f*x) mod 1) - 1, output in [-1, 1].
 

@@ -568,7 +568,7 @@ def train(
             return "skip"
         return (
             "skip"
-            if estimator.avg_samples_per_ray <= 0.4 * renderer.skip_steps
+            if estimator.avg_samples_per_ray <= 0.25 * renderer.skip_steps
             else "dense"
         )
 

@@ -64,6 +64,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bucket", type=int, default=16)
     ap.add_argument("--method", default="kplanes")
+    ap.add_argument("--march", default="dense", choices=["dense", "skip"])
     ap.add_argument("--n", type=int, default=10)
     args = ap.parse_args()
 
@@ -92,6 +93,72 @@ def main():
 
     marcher = renderer.marcher
     contraction = renderer.contraction
+
+    if args.march == "skip":
+        from tinynerf_tpu.core.skipmarch import skip_march
+
+        skip_grid = jax.jit(renderer.skip_grid)(occ_state)
+
+        @jax.jit
+        def stage_skipgrid(occ_state):
+            return renderer.skip_grid(occ_state)
+
+        timeit("skip-grid build (per occ update)", stage_skipgrid, occ_state,
+               n=args.n)
+
+        @jax.jit
+        def stage_scan(rays_o, rays_d, skip_grid):
+            t_min, t_exit = marcher.entry_exit(rays_o, rays_d)
+            return skip_march(
+                rays_o, rays_d, t_min, t_exit, marcher.step_size,
+                cfg.n_samples, contraction, skip_grid,
+                jax.random.PRNGKey(5), renderer.skip_steps,
+            )
+
+        k_idx, complete = timeit(
+            f"skip-march scan (K={renderer.skip_steps})", stage_scan,
+            rays_o, rays_d, skip_grid, n=args.n)
+        print(f"   (emitted {int(jnp.sum(k_idx >= 0))} samples; "
+              f"{float(jnp.mean(complete)):.4f} complete)", flush=True)
+
+        @jax.jit
+        def stage_skip_front(rays_o, rays_d, skip_grid):
+            return renderer._march_skip(
+                rays_o, rays_d, skip_grid, jax.random.PRNGKey(5)
+            )
+
+        cpos, deltas, maskf, complete = timeit(
+            "skip front (scan + positions)", stage_skip_front,
+            rays_o, rays_d, skip_grid, n=args.n)
+        S_cand = renderer.skip_steps
+        total_cand = R * S_cand
+
+        @jax.jit
+        def stage_compact_skip(cpos, maskf):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (total_cand,), 0)
+            keys = jnp.where((maskf > 0).reshape(-1), iota, jnp.int32(total_cand))
+            neg_vals, _ = jax.lax.top_k(-keys, min(CAP, total_cand))
+            valid_idx = -neg_vals
+            is_pad = valid_idx >= total_cand
+            safe = jnp.where(is_pad, 0, valid_idx)
+            return cpos.reshape(total_cand, 3)[safe], safe // S_cand, is_pad
+
+        timeit("compaction (top_k over R*K)", stage_compact_skip, cpos, maskf,
+               n=args.n)
+
+        @jax.jit
+        def full_grad_skip(params, occ_state, skip_grid, rays_o, rays_d):
+            def loss(p):
+                out = renderer.render_packed(
+                    p, occ_state, rays_o, rays_d, CAP,
+                    key=jax.random.PRNGKey(5), march="skip", skip_grid=skip_grid)
+                per_ray = jnp.mean((out.rgb - rgbs) ** 2, axis=-1)
+                return jnp.sum(per_ray * out.ray_valid) / jnp.maximum(
+                    jnp.sum(out.ray_valid), 1.0)
+            return jax.grad(loss)(params)
+
+        timeit("render_packed(skip) fwd+bwd", full_grad_skip, params,
+               occ_state, skip_grid, rays_o, rays_d, n=max(3, args.n // 2))
 
     # ---- stage: march (positions + contraction, no occupancy)
     @jax.jit
