@@ -100,7 +100,7 @@ def main() -> None:
     # demand estimate leaves ample scan-step budget (true at steady state)
     march = (
         "skip"
-        if renderer.supports_skip_march and avg_spr <= 0.25 * renderer.skip_steps
+        if renderer.supports_skip_march and avg_spr <= 0.35 * renderer.skip_steps
         else "dense"
     )
     grid_args = ()

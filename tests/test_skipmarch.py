@@ -17,7 +17,7 @@ from tinynerf_tpu.core import (
     OccupancyGrid,
     RayMarcherAABB,
 )
-from tinynerf_tpu.core.skipmarch import make_skip_grid, skip_advances, skip_march
+from tinynerf_tpu.core.skipmarch import make_skip_grid, skip_march
 from tinynerf_tpu.models import ColorDecoder, KPlanesFeatureField, OpacityDecoder
 
 AABB = ((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5))
@@ -55,25 +55,37 @@ def random_rays(n, seed):
 
 
 def test_skip_grid_conservative():
-    """A voxel with advance value a certifies that any voxel reachable within
-    the L-inf radius the pool level covered is empty."""
-    res = 16
-    g = (jax.random.uniform(jax.random.PRNGKey(3), (res, res, res)) < 0.08)
-    advances = skip_advances(voxel_w_min=3.0 / (res - 1), step_size=0.1, n_levels=5)
-    grid = np.asarray(make_skip_grid(g, advances))
-    occ = np.asarray(g)
-    # reconstruct the certified radius per advance value
-    adv_to_radius = {}
-    for j, a in enumerate(advances):
-        adv_to_radius[a] = 1 << j  # largest level wins in make_skip_grid
-    for v in np.argwhere(grid > 1):
-        r = adv_to_radius[grid[tuple(v)]]
-        lo = np.maximum(v - r, 0)
-        hi = np.minimum(v + r + 1, res)
-        window = occ[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
-        assert not window.any(), f"voxel {v} advance {grid[tuple(v)]} not safe"
-    # occupied voxels are 0
-    assert (grid[occ] == 0).all()
+    """Cone value g at voxel v in direction (axis, sign) certifies that every
+    voxel u the marcher can visit within the next g-1 axis slices — i.e.
+    with lateral offset up to (axis advance + 2) — is truly unoccupied."""
+    res = 12
+    g_occ = (jax.random.uniform(jax.random.PRNGKey(3), (res, res, res)) < 0.08)
+    grids = np.asarray(make_skip_grid(g_occ))
+    occ = np.asarray(g_occ)
+    assert grids.shape == (6, res, res, res)
+
+    for gi in range(6):
+        axis, neg = gi // 2, gi % 2 == 1
+        grid = grids[gi]
+        # occupied voxels are 0 in every direction grid
+        assert (grid[occ] == 0).all()
+        for v in np.argwhere(grid > 1):
+            gval = int(grid[tuple(v)])
+            for adv in range(0, gval):  # axis advance 0..g-1
+                va = v[axis] + (-adv if neg else adv)
+                if va < 0 or va >= res:
+                    continue
+                lo = np.maximum(v - (adv + 2), 0)
+                hi = np.minimum(v + adv + 3, res)
+                lo[axis] = hi[axis] = va
+                sl = occ[
+                    lo[0]:hi[0] + (axis == 0),
+                    lo[1]:hi[1] + (axis == 1),
+                    lo[2]:hi[2] + (axis == 2),
+                ]
+                assert not sl.any(), (
+                    f"dir {gi} voxel {v} g={gval} unsafe at advance {adv}"
+                )
 
 
 @pytest.mark.parametrize("density,seed", [(0.05, 0), (0.3, 1), (0.01, 2)])

@@ -46,7 +46,7 @@ from ..ops.weights_pallas import compute_weights_pallas
 from .contraction import ContractionAABB, ContractionMip360
 from .marching import RayMarcherAABB, RayMarcherUnbounded
 from .occupancy import OccupancyGrid, OccupancyState
-from .skipmarch import make_skip_grid, skip_advances, skip_march
+from .skipmarch import make_skip_grid, skip_march
 
 
 class RenderOutput(NamedTuple):
@@ -54,6 +54,10 @@ class RenderOutput(NamedTuple):
     opacity: jax.Array    # [n_rays] sum of weights
     ray_valid: jax.Array  # [n_rays] float32; 0 where the packed buffer overflowed
     n_samples: jax.Array  # scalar int32: valid samples this batch (fill metric)
+    # scalar int32: rays that finished marching (== n_rays on the dense path;
+    # may be lower on the skip path when the scan-step budget ran out — the
+    # training loop watches this and falls back to dense marching)
+    n_complete: jax.Array = None
 
 
 @dataclass(frozen=True)
@@ -147,22 +151,16 @@ class NerfRenderer:
             and self.occupancy is not None
         )
 
-    def _skip_advances(self):
-        lo, hi = (np.asarray(v, np.float32) for v in self.contraction.aabb)
-        sizes = np.asarray(self.occupancy.size, np.float32)
-        w_min = float(np.min((hi - lo) / np.maximum(sizes - 1.0, 1.0)))
-        n_levels = int(np.ceil(np.log2(float(np.max(sizes))))) + 1
-        return skip_advances(w_min, self.marcher.step_size, n_levels)
-
     def skip_grid(self, occ_state: OccupancyState) -> jax.Array:
-        """Precompute the skip grid from the (thresholded) occupancy state.
+        """Precompute the cone skip grids from the (thresholded) occupancy
+        state.
 
         Recomputed once per occupancy update by the training loop and fed to
         `render_packed(march="skip")`; a pure function of the state, so it is
         never checkpointed."""
         assert self.supports_skip_march
         thr = self.occupancy._threshold(occ_state)
-        return make_skip_grid(occ_state.grid > thr, self._skip_advances())
+        return make_skip_grid(occ_state.grid > thr)
 
     def _march_skip(self, rays_o, rays_d, skip_grid, key):
         """Skip-marching front half: candidate grid [R, skip_steps] whose
@@ -225,6 +223,7 @@ class NerfRenderer:
             opacity=opacity,
             ray_valid=jnp.ones(rays_o.shape[0], dtype=jnp.float32),
             n_samples=jnp.sum(maskf).astype(jnp.int32),
+            n_complete=jnp.int32(rays_o.shape[0]),
         )
 
     # --------------------------------------------------------- packed path
@@ -347,4 +346,9 @@ class NerfRenderer:
             opacity=opacity,
             ray_valid=ray_valid,
             n_samples=jnp.minimum(jnp.sum(counts), cap).astype(jnp.int32),
+            n_complete=(
+                jnp.sum(complete).astype(jnp.int32)
+                if complete is not None
+                else jnp.int32(n_rays)
+            ),
         )

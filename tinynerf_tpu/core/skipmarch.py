@@ -5,20 +5,29 @@ marched sample (src/core.py:176): n_rays x n_samples point queries.  On TPU
 those queries are scalar gathers at ~9 ns/element — ~100 ms/step at the
 flagship budget, the single largest cost of the sampling path.
 
-This module replaces brute-force querying with the Instant-NGP-style skip
-idea, recast for XLA: a SKIP GRID precomputed from the occupancy grid stores,
-per voxel, how many whole samples a ray may safely advance (0 = occupied).
-Marching becomes a fixed-length `lax.scan`, vectorized over rays, that per
-step gathers ONE skip value per ray and either emits the sample (occupied
-voxel) or jumps over the guaranteed-empty region.  At converged occupancy a
-ray needs ~(surviving samples + a few skip hops) steps instead of n_samples,
-cutting gathers ~4x at the flagship config.
+This module replaces brute-force querying with empty-space skipping recast
+for XLA.  A CONE DISTANCE TRANSFORM precomputed from the occupancy grid
+stores, per voxel and per (dominant axis, sign), how many axis slices a ray
+may advance before possibly hitting an occupied voxel: for a ray whose
+dominant direction component is +x, every voxel it can visit after advancing
+k x-slices lies within |lateral| <= k (+1 slop), i.e. inside a cone — and
+D[v] = min over occupied u in that cone of (u_x - v_x) is computable with a
+single reverse sweep per direction (6 sweeps of lax.scan over slices).
+Unlike an isotropic (Chebyshev-ball) skip pyramid, a cone skip jumps
+straight to the next occupied region instead of halving the distance per
+hop, so a ray needs ~(surviving samples + one hop per empty span) scan steps.
+
+Marching is a fixed-length `lax.scan`, vectorized over rays, that per step
+gathers ONE cone value per ray and either emits the sample (occupied voxel)
+or jumps the certified-empty span.
 
 EXACTNESS: the emitted sample set equals the brute-force path's surviving
-set exactly — including jitter — because (a) skip distances are conservative
-by one voxel, which absorbs the <= one-voxel jitter displacement, and (b)
-both paths draw the per-(ray, sample) jitter from the same stateless hash
-(ops/hashrng.py).  Tests assert set equality against the dense reference.
+set exactly — including jitter — because (a) the cone transform runs on a
+laterally dilated occupancy, which absorbs the <= one-voxel lateral slop of
+rounding and jitter, and the sample-advance bound is conservative along the
+axis, and (b) both paths draw the per-(ray, sample) jitter from the same
+stateless hash (ops/hashrng.py).  Tests assert set equality against the
+dense reference on random grids and rays.
 
 Rays still marching after `n_steps` scan steps are flagged incomplete so the
 loss can exclude them (the same mechanism as sample-cap overflow).  The
@@ -37,88 +46,144 @@ import numpy as np
 from ..ops.hashrng import hash_u01
 from .contraction import ContractionAABB
 
+_INF = jnp.int32(1 << 20)
+_MAX_D = 127  # cone distances clip here; advances saturate long before
 
-def _maxpool_shift(x: jax.Array, radius: int) -> jax.Array:
-    """Max over shifts {-radius, 0, +radius} along every axis (zero fill).
 
-    Applied to an occupancy map that is already a radius-r max-pool, this
-    yields the radius-2r max-pool (shift composition: |a| in {0, r} plus the
-    input's own radius-r coverage spans every offset up to 2r)."""
-    out = x
-    for axis in range(x.ndim):
-        n = x.shape[axis]
-        r = min(radius, n)
+def _shift2d(x: jax.Array, dy: int, dz: int, fill) -> jax.Array:
+    """Shift a [r1, r2] slice by (dy, dz), filling vacated cells."""
+    if dy:
+        pad = jnp.full((abs(dy), x.shape[1]), fill, x.dtype)
+        x = (
+            jnp.concatenate([x[dy:], pad], 0)
+            if dy > 0
+            else jnp.concatenate([pad, x[:dy]], 0)
+        )
+    if dz:
+        pad = jnp.full((x.shape[0], abs(dz)), fill, x.dtype)
+        x = (
+            jnp.concatenate([x[:, dz:], pad], 1)
+            if dz > 0
+            else jnp.concatenate([pad, x[:, :dz]], 1)
+        )
+    return x
+
+
+def _cone_sweep(occ_dil: jax.Array) -> jax.Array:
+    """D[v] = min slices along +axis0 to a dilated-occupied voxel within the
+    bidirectional-lateral cone (|lateral| <= axis advance); 0 on dilated-
+    occupied voxels.  One reverse lax.scan over axis-0 slices; the cone is
+    realized by taking the min over the 9 laterally-shifted carries."""
+    r0 = occ_dil.shape[0]
+
+    def step(carry, occ_slice):
+        shifted = [
+            _shift2d(carry, dy, dz, _INF)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+        ahead = jnp.minimum(
+            jnp.min(jnp.stack(shifted), axis=0) + 1, _INF
+        )
+        d = jnp.where(occ_slice, jnp.int32(0), ahead)
+        return d, d
+
+    init = jnp.full(occ_dil.shape[1:], _INF, jnp.int32)
+    _, ds = jax.lax.scan(step, init, occ_dil[::-1])
+    return ds[::-1]
+
+
+def make_skip_grid(occ_bool: jax.Array) -> jax.Array:
+    """Cone skip grids for all 6 (dominant axis, sign) directions.
+
+    Returns int32 [6, r0, r1, r2]; value semantics per voxel v and direction:
+      0  — v is TRULY occupied (the marcher emits the sample),
+      k  — every voxel u the ray can visit within the next (k-1) axis slices
+           (cone: |lateral| <= axis advance + 1) is truly unoccupied.
+    Grid order: (+x, -x, +y, -y, +z, -z).
+    """
+    occ = occ_bool
+
+    def dilate1(x, axis):
         lo = jnp.concatenate(
-            [jax.lax.slice_in_dim(x, r, n, axis=axis),
-             jnp.zeros_like(jax.lax.slice_in_dim(x, 0, r, axis=axis))],
+            [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+             jnp.zeros_like(jax.lax.slice_in_dim(x, 0, 1, axis=axis))],
             axis=axis,
         )
         hi = jnp.concatenate(
-            [jnp.zeros_like(jax.lax.slice_in_dim(x, n - r, n, axis=axis)),
-             jax.lax.slice_in_dim(x, 0, n - r, axis=axis)],
+            [jnp.zeros_like(jax.lax.slice_in_dim(x, 0, 1, axis=axis)),
+             jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
             axis=axis,
         )
-        out = jnp.maximum(out, jnp.maximum(lo, hi))
-        x = out
-    return out
+        return x | lo | hi
 
-
-def skip_advances(voxel_w_min: float, step_size: float, n_levels: int) -> Tuple[int, ...]:
-    """Safe sample-advance per pool level.
-
-    Level j certifies every voxel within Chebyshev radius r = 2^j of the
-    current sample's voxel is empty.  A jittered sample k+i (i < m, all
-    SKIPPED, the visited k+m is queried) lies within m*step of the current
-    jittered sample, i.e. within floor(m*step/w)+1 voxels, so skipping is
-    safe while m*step < r*w: m = ceil(r*w/step) - 1.
-    """
-    return tuple(
-        max(1, int(np.ceil((1 << j) * voxel_w_min / step_size)) - 1)
-        for j in range(n_levels)
-    )
-
-
-def make_skip_grid(
-    occ_bool: jax.Array,  # [r0, r1, r2] bool, thresholded occupancy
-    advances: Tuple[int, ...],  # from skip_advances (static)
-) -> jax.Array:
-    """int32 grid: 0 = occupied voxel (emit), else safe sample advance."""
-    occ = occ_bool.astype(jnp.float32)
-    adv = jnp.where(occ_bool, jnp.int32(0), jnp.int32(1))
-    pooled = _maxpool_shift(occ, 1)  # radius 1 (3^3 window)
-    radius = 1
-    for a_j in advances:
-        adv = jnp.where(~occ_bool & (pooled == 0.0), jnp.int32(a_j), adv)
-        radius_next = radius * 2
-        pooled = _maxpool_shift(pooled, radius)  # radius doubles
-        radius = radius_next
-    return adv
+    grids = []
+    for axis in (0, 1, 2):
+        # 2-voxel LATERAL dilation: a visited voxel's lateral offset can
+        # exceed its axis advance by up to 2 (nearest-voxel rounding at both
+        # the current and visited sample, for diagonal rays) — the cone
+        # certifies |lateral| <= axis advance, so the slop is absorbed here
+        dil = occ
+        for lat in (0, 1, 2):
+            if lat == axis:
+                continue
+            dil = dilate1(dilate1(dil, lat), lat)
+        occ_a = jnp.moveaxis(occ, axis, 0)
+        dil_a = jnp.moveaxis(dil, axis, 0)
+        for flip in (False, True):
+            d = dil_a[::-1] if flip else dil_a
+            cone = _cone_sweep(d)
+            if flip:
+                cone = cone[::-1]
+            g = jnp.where(
+                occ_a, jnp.int32(0), jnp.clip(jnp.maximum(cone, 1), 0, _MAX_D)
+            )
+            grids.append(jnp.moveaxis(g, 0, axis))
+    return jnp.stack(grids)
 
 
 def skip_march(
     rays_o: jax.Array,  # [R, 3]
-    rays_d: jax.Array,  # [R, 3]
+    rays_d: jax.Array,  # [R, 3] unit-norm
     t_min: jax.Array,  # [R] box entry (clamped to near, as the marcher does)
     t_exit: jax.Array,  # [R] box exit
     step_size: float,
     n_samples: int,
     contraction: ContractionAABB,
-    skip_grid: jax.Array,  # [r0, r1, r2] int32 from make_skip_grid
+    skip_grid: jax.Array,  # [6, r0, r1, r2] int32 from make_skip_grid
     key: Optional[jax.Array],
     n_steps: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """March with empty-space skipping.
+    """March with cone empty-space skipping.
 
     Returns (k_idx [R, n_steps] int32 emitted sample indices (-1 = none,
     ascending per ray), complete [R] bool — False where the step budget ran
     out before the ray finished; such rays must be excluded from the loss).
     """
     R = rays_o.shape[0]
-    r0, r1, r2 = skip_grid.shape
+    _, r0, r1, r2 = skip_grid.shape
     res = jnp.array([r0 - 1, r1 - 1, r2 - 1], jnp.float32)  # align_corners
     flat_grid = skip_grid.reshape(-1)
+    vox_per_grid = r0 * r1 * r2
     ray_ids = jnp.arange(R, dtype=jnp.int32)
     delta = jnp.float32(step_size)
+
+    # per-ray direction class + advance scale.  For dominant axis a:
+    # x-index advance of skipping m samples is < m*delta*|d_a|/w_a + 1, so
+    # skipping is safe while that stays <= g-1: m = ceil((g-1)/rate) - 1
+    # with rate = delta*|d_a|/w_a (index slices per sample).
+    lo, hi = (np.asarray(v, np.float32) for v in contraction.aabb)
+    w_axis = jnp.asarray((hi - lo) / np.array([r0 - 1, r1 - 1, r2 - 1]))
+    absd = jnp.abs(rays_d)
+    dom = jnp.argmax(absd, axis=-1)  # [R]
+    sign_neg = jnp.take_along_axis(rays_d, dom[:, None], -1)[:, 0] < 0.0
+    grid_sel = dom * 2 + sign_neg.astype(jnp.int32)  # (+a, -a) order
+    grid_base = grid_sel * vox_per_grid
+    rate = (
+        delta
+        * jnp.take_along_axis(absd, dom[:, None], -1)[:, 0]
+        / w_axis[dom]
+    )  # [R] > 0 since |d|=1 and dom is the max component
 
     # number of in-box samples: sample k is in the box iff t_k <= t_exit
     # (t >= t_min = entry by construction; out-of-box tails are never
@@ -144,11 +209,16 @@ def skip_march(
             jnp.round((cpos + 1.0) * 0.5 * res), 0.0, res
         ).astype(jnp.int32)
         vox = (idx[:, 0] * r1 + idx[:, 1]) * r2 + idx[:, 2]
-        g = flat_grid[vox]  # ONE gather per ray per round
+        g = flat_grid[grid_base + vox]  # ONE gather per ray per round
 
         active = ~done & (k < k_end)
         emit = active & (g == 0) & (inbox > 0.0)
-        adv = jnp.maximum(g, 1)
+        # skipped sample k+i advances <= (i+1)*rate + 1 axis slices; all must
+        # stay within the certified g-1 slices: m*rate <= g-2
+        adv = jnp.maximum(
+            jnp.floor((g.astype(jnp.float32) - 2.0) / rate).astype(jnp.int32),
+            1,
+        )
         k_next = jnp.where(active, k + adv, k)
         done_next = done | (k_next >= k_end)
         y = jnp.where(emit, kk, jnp.int32(-1))

@@ -215,7 +215,7 @@ def make_train_step(
         mesh=mesh,
         in_specs=(P(), P()) + grid_specs
         + (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
     def data_grads(params, occ_state, *rest):
@@ -245,22 +245,29 @@ def make_train_step(
             per_ray_mse = jnp.mean((out.rgb - rgbs) ** 2, axis=-1)
             num = jnp.sum(per_ray_mse * out.ray_valid)
             den = jnp.sum(out.ray_valid)
-            return num, (den, out.n_samples.astype(jnp.float32))
+            return num, (
+                den,
+                out.n_samples.astype(jnp.float32),
+                out.n_complete.astype(jnp.float32),
+            )
 
-        (num, (den, n_filled)), grads = jax.value_and_grad(data_loss, has_aux=True)(
-            params
-        )
+        (num, (den, n_filled, n_complete)), grads = jax.value_and_grad(
+            data_loss, has_aux=True
+        )(params)
         num = jax.lax.psum(num, DATA_AXIS)
         den = jax.lax.psum(den, DATA_AXIS)
         n_filled = jax.lax.psum(n_filled, DATA_AXIS)
+        n_complete = jax.lax.psum(n_complete, DATA_AXIS)
         grads = jax.lax.psum(grads, DATA_AXIS)
         scale = 1.0 / jnp.maximum(den, 1.0)
         loss = num * scale
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        return loss, grads, den, n_filled
+        return loss, grads, den, n_filled, n_complete
 
     def step(params, opt_state, occ_state, *rest):
-        loss, grads, rays_used, n_filled = data_grads(params, occ_state, *rest)
+        loss, grads, rays_used, n_filled, n_complete = data_grads(
+            params, occ_state, *rest
+        )
 
         if has_reg:
             def reg_fn(p):
@@ -279,6 +286,7 @@ def make_train_step(
             "loss": loss,
             "rays_used": rays_used,
             "fill": n_filled / cfg.sample_cap,
+            "complete_frac": n_complete / n_cand,
         }
         if deterministic:
             # expose the (replicated, post-psum) grads so equality tests can
@@ -456,6 +464,9 @@ class BucketEstimator:
         self.cfg = cfg
         self.refresh_every = refresh_every
         self.avg_samples_per_ray = float(cfg.n_samples)
+        # True right after an observe() that actually fetched — callers can
+        # piggyback their own (device-scalar) checks on the same cadence
+        self.just_refreshed = False
         self._since = 0
         self._force = False
 
@@ -467,7 +478,9 @@ class BucketEstimator:
         only when a refresh is due."""
         self._since += 1
         if not (self._force or self._since >= self.refresh_every):
+            self.just_refreshed = False
             return
+        self.just_refreshed = True
         fill_v, rays_v = float(fill), float(rays_used)
         if rays_v > 0:
             self.avg_samples_per_ray = max(
@@ -558,17 +571,23 @@ def train(
 
     # march-mode policy: the skip marcher pays off (and stays within its
     # per-ray step budget) only once culling leaves ample margin; early
-    # training (everything occupied) uses the dense path
+    # training (everything occupied) uses the dense path.  If skip-marched
+    # rays start exhausting the step budget anyway (complete_frac from the
+    # step metrics — scene geometry more tortuous than the heuristic
+    # assumes), skip mode is disabled for the rest of the run: truncated
+    # rays are loss-excluded, and systematically excluding the densest rays
+    # would bias training.
+    skip_disabled = False
     can_skip = renderer.supports_skip_march and cfg.march != "dense"
 
     def pick_march() -> str:
-        if not can_skip:
+        if not can_skip or skip_disabled:
             return "dense"
         if cfg.march == "skip":
             return "skip"
         return (
             "skip"
-            if estimator.avg_samples_per_ray <= 0.25 * renderer.skip_steps
+            if estimator.avg_samples_per_ray <= 0.35 * renderer.skip_steps
             else "dense"
         )
 
@@ -640,6 +659,14 @@ def train(
         pending.append((m["loss"], occ_frac, m["fill"], m["rays_used"]))
         rays_total += bucket * cfg.batch_size
         estimator.observe(m["fill"], m["rays_used"])
+        if march == "skip" and estimator.just_refreshed:
+            if float(m["complete_frac"]) < 0.995:
+                skip_disabled = True
+                print(
+                    f"step {step_i}: {1 - float(m['complete_frac']):.1%} of "
+                    f"rays exhausted the skip-march step budget "
+                    f"({renderer.skip_steps}); falling back to dense marching"
+                )
 
         if len(pending) >= 64 or step_i == steps - 1:
             flush_pending()
