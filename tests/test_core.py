@@ -294,3 +294,28 @@ def test_render_unbounded_scene():
     out = r.render_packed(params, occ_state, rays_o, rays_d, cap=16 * 32, key=KEY)
     assert out.rgb.shape == (16, 3)
     assert bool(jnp.all(jnp.isfinite(out.rgb)))
+
+
+def test_occupancy_query_trilinear_matches_reference_semantics():
+    """interp="trilinear" reproduces the reference's grid_sample query
+    (src/core.py:147-156): smooth interpolation of the float grid, then
+    > threshold."""
+    grid_cfg = OccupancyGrid.cube(8, step_size=0.1, threshold=0.5,
+                                  decay=0.5, interp="trilinear")
+    state = grid_cfg.init_state()
+    # half-occupied grid along x with a soft boundary
+    grid = jnp.where(jnp.arange(8)[:, None, None] >= 4, 1.0, 0.0)
+    grid = jnp.broadcast_to(grid, (8, 8, 8))
+    state = state._replace(grid=grid, mean=jnp.mean(grid))
+    # at x slightly past the midpoint the interpolated value crosses 0.5
+    pts = jnp.array([
+        [0.2, 0.0, 0.0],   # interp ~0.85 > 0.5 -> occupied
+        [-0.2, 0.0, 0.0],  # interp ~0.15 < 0.5 -> empty
+        [0.9, 0.0, 0.0],   # deep inside occupied
+    ])
+    vals = grid_cfg.query(state, pts)
+    np.testing.assert_array_equal(np.asarray(vals), [1.0, 0.0, 1.0])
+    # nearest-mode on the same state agrees away from the boundary
+    near = OccupancyGrid.cube(8, step_size=0.1, threshold=0.5,
+                              decay=0.5, interp="nearest")
+    np.testing.assert_array_equal(np.asarray(near.query(state, pts[2:])), [1.0])

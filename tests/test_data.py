@@ -116,3 +116,25 @@ def test_parse_nerfstudio(nerfstudio_scene):
     assert isinstance(train.intrinsics, Intrinsics)
     rays_o, rays_d = val.generate_rays()
     np.testing.assert_allclose(np.linalg.norm(rays_d[0], axis=-1), 1.0, atol=1e-5)
+
+
+def test_parses_reference_dummy_fixture():
+    """Cross-check on REAL reference-format data: the reference ships a
+    2-frame miniature of Blender-synthetic hotdog (reference
+    tests/dummy/hotdog); our parser must load it (read-only)."""
+    import pytest
+    from pathlib import Path
+
+    ref = Path("/root/reference/tests/dummy/hotdog")
+    if not ref.exists():
+        pytest.skip("reference fixture not available")
+    data = parse_nerf_synthetic(ref, "train")
+    assert len(data.imgs) == 2
+    assert data.imgs[0].shape == (200, 200, 3)
+    assert data.cameras.shape == (2, 4, 4)
+    assert float(data.imgs[0].min()) >= 0.0 and float(data.imgs[0].max()) <= 1.0
+    pool = RayPool(data)
+    assert pool.n_rays == 2 * 200 * 200
+    # ray directions are unit-norm
+    n = np.linalg.norm(pool.rays_d, axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-5)

@@ -92,3 +92,60 @@ def test_schedule_derivations():
     c2 = cfg(batch_size=4096)
     assert c2.total_steps == 2048
     assert c2.occ_update_every == 16
+
+
+def test_split_table_lr():
+    """lr_tables scales updates of non-MLP params by lr_tables/lr while MLP
+    params follow the base lr."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tinynerf_tpu.train.loop import make_optimizer
+
+    c = cfg(lr_init=1e-3, lr_tables=1e-2, weight_decay=0.0)
+    opt = make_optimizer(c)
+    params = {
+        "field": {"planes": [[jnp.ones((4, 4, 2))]]},
+        "rgb": {"mlp": [(jnp.ones((3, 3)), jnp.zeros(3))]},
+    }
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    state = opt.init(params)
+    updates, _ = opt.update(grads, state, params)
+    # Adam normalizes unit grads to ~1 -> update magnitude == group lr
+    table_up = float(jnp.abs(updates["field"]["planes"][0][0]).mean())
+    mlp_up = float(jnp.abs(updates["rgb"]["mlp"][0][0]).mean())
+    np.testing.assert_allclose(table_up / mlp_up, 10.0, rtol=1e-4)
+    np.testing.assert_allclose(mlp_up, 1e-3, rtol=1e-3)
+
+
+def test_decay_tables_switch():
+    """decay_tables=True (reference semantics) applies weight decay to raw
+    feature tables; default masks them out."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tinynerf_tpu.train.loop import make_optimizer
+
+    params = {"field": {"planes": [[jnp.full((4, 4, 2), 2.0)]]},
+              "rgb": {"mlp": [(jnp.full((3, 3), 2.0), jnp.zeros(3))]}}
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    outs = {}
+    for dt in (False, True):
+        c = cfg(lr_init=1e-3, weight_decay=1e-2, decay_tables=dt)
+        opt = make_optimizer(c)
+        updates, _ = opt.update(zero_grads, opt.init(params), params)
+        outs[dt] = float(jnp.abs(updates["field"]["planes"][0][0]).max())
+    assert outs[False] == 0.0          # tables masked out of decay
+    assert outs[True] > 0.0            # reference decays everything
+
+
+def test_method_aware_lr_defaults():
+    """Per-method lr defaults (BASELINE.md sweeps): K-Planes keeps the
+    reference's 1e-2; vanilla/cobafa use the swept optima."""
+    assert cfg(method="kplanes").effective_lr == 1e-2
+    assert cfg(method="vanilla").effective_lr == 1e-3
+    assert cfg(method="cobafa").effective_lr == 3e-3
+    assert cfg(method="cobafa", lr_init=5e-4).effective_lr == 5e-4

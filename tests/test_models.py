@@ -83,8 +83,8 @@ def test_kplanes_regularizers_nonnegative():
     params = field.init(KEY)
     assert float(field.loss_tv(params)) >= 0
     assert float(field.loss_l1(params)) >= 0
-    # L1 of U(0.5, 1.5)-init planes is ~1.0
-    assert 0.9 < float(field.loss_l1(params)) < 1.1
+    # L1 of U(0, 1)-init planes is ~0.5
+    assert 0.4 < float(field.loss_l1(params)) < 0.6
 
 
 def test_kplanes_explicit_decoders():

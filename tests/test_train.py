@@ -93,7 +93,12 @@ def test_sharded_matches_single_device_grads(pools, tmp_path):
     from tinynerf_tpu.train.loop import make_train_step
 
     train_rays, _ = pools
-    cfg = tiny_cfg(tmp_path, method="vanilla", batch_size=64, n_samples=16)
+    # f32 compute: bf16 matmul reductions split differently across mesh
+    # sizes; this test guards the psum/scale math, not dtype noise
+    cfg = tiny_cfg(
+        tmp_path, method="vanilla", batch_size=64, n_samples=16,
+        compute_dtype="float32",
+    )
     n_cand = 64
 
     o, d, rgb = (np.asarray(a)[:n_cand] for a in train_rays.arrays())

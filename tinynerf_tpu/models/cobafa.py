@@ -40,8 +40,12 @@ class CobafaFeatureField:
     channels: Tuple[int, ...] = (8, 8, 8, 4, 4, 4)
     mlp_hidden_dim: int = 128
     dropout_p: float = 0.01
-    # see KPlanesFeatureField.lookup_mode / gather_dtype / scatter_dtype
-    lookup_mode: str = "quad"  # "quad" = cell-packed (oct rows in 3-D)
+    # see KPlanesFeatureField.lookup_mode / gather_dtype / scatter_dtype.
+    # Default "mixed" (8 corner-row gathers, exact f32 scatter): the
+    # cell-packed oct layout rebuilds ~340 MB of packed tables per call for
+    # this config's 3-D grids — worthwhile only when the sample count is
+    # large relative to the tables, which cobafa's never is
+    lookup_mode: str = "mixed"  # "quad" = cell-packed (oct rows in 3-D)
     gather_dtype: str = "bfloat16"
     scatter_dtype: str = "float32"
     # grid init range: basis x coefficient is a two-factor product, so the

@@ -46,14 +46,13 @@ class KPlanesFeatureField:
     # (128, 256, 512) (src/models.py:126-142) — +1 is a quality-neutral
     # layout deviation (0.8% more parameters), A/B'd in BASELINE.md
     resolutions: Tuple[int, ...] = (129, 257, 513)
-    # plane init range. The reference uses torch's uniform_ = U(0,1)
-    # (src/models.py:99), but the multiplicative combination is self-killing
-    # under that init: early background pressure shrinks all planes toward 0,
-    # and each plane's gradient is proportional to the PRODUCT of the other
-    # two, so it vanishes quadratically and the field dies (observed:
-    # plane mean 0.5 -> 0.0003, constant-sigma collapse). U(0.5, 1.5) keeps
-    # products near 1 — the K-Planes paper's identity-at-init intent.
-    init_range: Tuple[float, float] = (0.5, 1.5)
+    # plane init range: U(0,1), the reference's torch uniform_
+    # (src/models.py:99).  The round-1 "field collapse" blamed on this init
+    # turned out to be Adam weight decay flattening the sparsely-supervised
+    # tables (full-schedule A/B, BASELINE.md: with tables masked out of
+    # decay, U(0,1) trains to 33.0 dB vs 31.8 for U(0.5,1.5); with the
+    # reference's decay-everything Adam both collapse to ~12 dB).
+    init_range: Tuple[float, float] = (0.0, 1.0)
     # lookup strategy (see ops/interp.py):
     #   "fused" — all scales of a projection exactly upsampled onto one fine
     #             grid, cell-packed: ONE gather + ONE scatter row per sample

@@ -47,12 +47,20 @@ class TrainConfig:
     decay_tables: bool = False
 
     # None = method-dependent default: 1e-2 for K-Planes (reference value,
-    # src/run.py:110), 1e-3 for the MLP-dominated fields — the reference
+    # src/run.py:110), 1e-3 for vanilla and 3e-3 for cobafa — the reference
     # hardcodes 1e-2 for ALL methods, but that is destructively high when an
-    # MLP carries the field (measured on the spheres scene: vanilla 11.8 dB
-    # stuck at 1e-2 vs 26.4 dB at 1e-3; cobafa 11.8 vs 17.9 — plausibly why
-    # the reference never achieved its Cobafa reproduction)
+    # MLP carries the field (800-step A/B on the spheres scene, BASELINE.md:
+    # vanilla 11.6 dB stuck at 1e-2 vs 27.2 dB at 1e-3; cobafa swept
+    # 3e-4/1e-3/3e-3 -> 16.9/21.8/26.1 dB — plausibly why the reference
+    # never achieved its Cobafa reproduction)
     lr_init: Optional[float] = None
+    # optional SPLIT learning rate for raw feature tables (planes/grids):
+    # tables tolerate (and often need) a much higher rate than the MLPs that
+    # decode them — the reference's single flat 1e-2 is exactly the
+    # compromise that breaks its Cobafa reproduction.  None = method default
+    # (cobafa: 1e-2 tables / 3e-3 mlp, swept in BASELINE.md: 29.0 dB vs 26.1
+    # flat; other methods: same as lr).
+    lr_tables: Optional[float] = None
     adam_eps: float = 1e-15
     weight_decay: float = 1e-5
     tv_reg_alpha: float = 1e-4  # kplanes only
@@ -67,7 +75,8 @@ class TrainConfig:
     near: float = 0.1
 
     # ---- TPU-specific
-    compute_dtype: str = "float32"  # float32 | bfloat16 (MLP matmul dtype)
+    compute_dtype: str = "bfloat16"  # bfloat16 | float32 (MLP matmul dtype; fp32 masters.
+    # Full-schedule A/B on the spheres scene: bf16 33.28 dB vs f32 33.03 -- neutral)
     # candidate-ray bucket multipliers: per step the host picks the largest
     # bucket whose expected sample demand fits the fixed cap; each bucket is
     # one compiled program (static shapes). Large multipliers engage late in
@@ -96,7 +105,17 @@ class TrainConfig:
     def effective_lr(self) -> float:
         if self.lr_init is not None:
             return self.lr_init
-        return 1e-3 if self.method in ("vanilla", "cobafa") else 1e-2
+        if self.method == "vanilla":
+            return 1e-3
+        if self.method == "cobafa":
+            return 3e-3
+        return 1e-2
+
+    @property
+    def effective_lr_tables(self) -> Optional[float]:
+        if self.lr_tables is not None:
+            return self.lr_tables
+        return 1e-2 if self.method == "cobafa" else None
 
     @property
     def bs_ratio(self) -> float:

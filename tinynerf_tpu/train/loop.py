@@ -166,11 +166,23 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     masked off the feature tables — see _decay_mask)."""
     schedule = lr_schedule(cfg)
     decay_mask = None if cfg.decay_tables else _decay_mask
-    return optax.chain(
+    chain = [
         optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
         optax.scale_by_adam(eps=cfg.adam_eps),
         optax.scale_by_learning_rate(schedule),
-    )
+    ]
+    lr_tables = cfg.effective_lr_tables
+    if lr_tables is not None and lr_tables != cfg.effective_lr:
+        # split lr: scale table updates by the ratio (the schedule's decay
+        # milestones then apply to both groups); tables = everything the
+        # decay mask classifies as non-MLP
+        ratio = lr_tables / cfg.effective_lr
+
+        def table_mask(params):
+            return jax.tree_util.tree_map(lambda m: not m, _decay_mask(params))
+
+        chain.append(optax.masked(optax.scale(ratio), table_mask))
+    return optax.chain(*chain)
 
 
 # ---------------------------------------------------------------- train step

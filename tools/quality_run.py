@@ -35,6 +35,8 @@ def main():
                     help="0 disables occupancy culling")
     ap.add_argument("--lr", type=float, default=None,
                     help="None = method-dependent default")
+    ap.add_argument("--lr-tables", type=float, default=None,
+                    help="split lr for feature tables (None = same as --lr)")
     ap.add_argument("--tv", type=float, default=1e-4)
     # --- deviation-parity switches (BASELINE.md matrix) ---
     ap.add_argument("--init-range", default=None,
@@ -75,6 +77,7 @@ def main():
         occupancy_interp=args.occ_interp or "nearest",
         decay_tables=args.decay_tables,
         lr_init=args.lr,
+        lr_tables=args.lr_tables,
         tv_reg_alpha=args.tv,
         seed=args.seed,
         compute_dtype=args.dtype,
@@ -128,6 +131,8 @@ def main():
         dev.append("no_fwd_clamp")
     if args.lr is not None:
         dev.append(f"lr={args.lr}")
+    if args.lr_tables is not None:
+        dev.append(f"lr_tables={args.lr_tables}")
     print(
         f"RESULT scene={args.scene} method={args.method} lookup={args.lookup or 'default'} "
         f"gather={args.gather_dtype or 'default'} dtype={args.dtype} steps={args.steps} "
