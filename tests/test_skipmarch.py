@@ -194,3 +194,74 @@ def test_train_step_skip_march_mode():
         losses[march] = float(m["loss"])
     assert np.isfinite(losses["dense"])
     assert np.allclose(losses["dense"], losses["skip"], rtol=1e-5, atol=1e-7)
+
+
+# ------------------------------------------------------- unbounded marching
+
+def make_unbounded_renderer(res=16, n_samples=64, skip_steps=None):
+    from tinynerf_tpu.core import ContractionMip360, RayMarcherUnbounded
+
+    marcher = RayMarcherUnbounded(n_samples=n_samples, near=0.1, far=1e5,
+                                  uniform_range=2.0)
+    field = KPlanesFeatureField(feature_dim_per_plane=4, resolutions=(9, 17))
+    return NerfRenderer(
+        field=field,
+        sigma_decoder=OpacityDecoder(field.feature_dim),
+        rgb_decoder=ColorDecoder(2, field.feature_dim, 16, 1),
+        marcher=marcher,
+        contraction=ContractionMip360(),
+        occupancy=OccupancyGrid.cube(res, marcher.step_size),
+        bg_color=(1.0, 1.0, 1.0),
+        skip_steps=skip_steps or n_samples,
+    )
+
+
+def test_skip_grid_iso_conservative():
+    from tinynerf_tpu.core.skipmarch import make_skip_grid_iso
+
+    res = 12
+    occ_b = (jax.random.uniform(jax.random.PRNGKey(5), (res, res, res)) < 0.08)
+    grid = np.asarray(make_skip_grid_iso(occ_b))
+    occ = np.asarray(occ_b)
+    assert (grid[occ] == 0).all()
+    for v in np.argwhere(grid > 1):
+        r = int(grid[tuple(v)]) - 1  # certified Chebyshev-empty radius
+        lo = np.maximum(v - r, 0)
+        hi = np.minimum(v + r + 1, res)
+        assert not occ[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]].any(), (
+            f"voxel {v} radius {r} not empty"
+        )
+
+
+@pytest.mark.parametrize("density,seed", [(0.05, 0), (0.2, 1)])
+def test_unbounded_skip_march_equals_dense(density, seed):
+    """Unbounded (Mip-360) skip marching: emitted set == dense surviving set
+    with and without jitter (curved contracted-space paths, isotropic
+    certification)."""
+    res, S = 16, 64
+    renderer = make_unbounded_renderer(res=res, n_samples=S)
+    occ = random_occ(renderer, res, density, seed)
+    o, d = random_rays(256, seed)
+    sg = renderer.skip_grid(occ)
+    params = renderer.init(jax.random.PRNGKey(0))
+
+    for key in (None, jax.random.PRNGKey(11)):
+        _, _, maskf = renderer._march(o, d, occ, key)
+        dense = np.asarray(maskf > 0)
+        cpos, deltas, maskb, complete = renderer._march_skip(o, d, sg, key)
+        assert bool(np.asarray(complete).all())
+        # reconstruct the emitted sample-index set per ray
+        out_d = renderer.render_packed(params, occ, o, d, cap=16384, key=key)
+        out_s = renderer.render_packed(
+            params, occ, o, d, cap=16384, key=key, march="skip", skip_grid=sg
+        )
+        assert int(out_d.n_samples) == int(out_s.n_samples), (
+            f"jitter={key is not None}: {int(out_d.n_samples)} vs "
+            f"{int(out_s.n_samples)}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_d.rgb), np.asarray(out_s.rgb), atol=2e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_d.ray_valid), np.asarray(out_s.ray_valid)
+        )

@@ -37,9 +37,17 @@ class RayMarcherUnbounded:
         """Representative step (used by the occupancy grid update)."""
         return self.uniform_range / self.n_samples
 
+    @property
+    def step_x(self) -> float:
+        """Spacing of the disparity parameter x (x_k = k * step_x)."""
+        return (1.0 - 1.0 / (self.n_samples + 2)) / self.n_samples
+
     def _grid(self) -> Tuple[np.ndarray, np.ndarray]:
-        x = np.linspace(
-            0.0, 1.0 - 1.0 / (self.n_samples + 2), self.n_samples + 1, dtype=np.float32
+        # computed k * step_x (not linspace) so the skip marcher's closed-form
+        # per-sample evaluation of the same f32 expression is bitwise equal
+        x = (
+            np.arange(self.n_samples + 1, dtype=np.float32)
+            * np.float32(self.step_x)
         )
         f = np.where(x < 0.5, 2.0 * x, 1.0 / (2.0 - 2.0 * x)).astype(np.float32)
         t = f * np.float32(self.uniform_range) + np.float32(self.near)

@@ -46,7 +46,12 @@ from ..ops.weights_pallas import compute_weights_pallas
 from .contraction import ContractionAABB, ContractionMip360
 from .marching import RayMarcherAABB, RayMarcherUnbounded
 from .occupancy import OccupancyGrid, OccupancyState
-from .skipmarch import make_skip_grid, skip_march
+from .skipmarch import (
+    make_skip_grid,
+    make_skip_grid_iso,
+    skip_march,
+    skip_march_unbounded,
+)
 
 
 class RenderOutput(NamedTuple):
@@ -145,21 +150,28 @@ class NerfRenderer:
 
     @property
     def supports_skip_march(self) -> bool:
-        return (
-            isinstance(self.marcher, RayMarcherAABB)
-            and isinstance(self.contraction, ContractionAABB)
-            and self.occupancy is not None
+        if self.occupancy is None:
+            return False
+        aabb = isinstance(self.marcher, RayMarcherAABB) and isinstance(
+            self.contraction, ContractionAABB
         )
+        unbounded = isinstance(self.marcher, RayMarcherUnbounded) and isinstance(
+            self.contraction, ContractionMip360
+        )
+        return aabb or unbounded
 
     def skip_grid(self, occ_state: OccupancyState) -> jax.Array:
-        """Precompute the cone skip grids from the (thresholded) occupancy
-        state.
+        """Precompute the skip grid(s) from the (thresholded) occupancy state:
+        directional cone grids for straight (AABB) contracted-space rays, an
+        isotropic Chebyshev grid for the curved Mip-360 paths.
 
         Recomputed once per occupancy update by the training loop and fed to
         `render_packed(march="skip")`; a pure function of the state, so it is
         never checkpointed."""
         assert self.supports_skip_march
         thr = self.occupancy._threshold(occ_state)
+        if isinstance(self.marcher, RayMarcherUnbounded):
+            return make_skip_grid_iso(occ_state.grid > thr)
         return make_skip_grid(occ_state.grid > thr)
 
     def _march_skip(self, rays_o, rays_d, skip_grid, key):
@@ -167,27 +179,42 @@ class NerfRenderer:
         valid entries are EXACTLY the dense path's surviving samples, plus a
         per-ray completeness flag (False = step budget exhausted)."""
         jkey = jax.random.fold_in(key, 0) if key is not None else None
-        t_min, t_exit = self.marcher.entry_exit(rays_o, rays_d)
-        k_idx, complete = skip_march(
-            rays_o, rays_d, t_min, t_exit,
-            self.marcher.step_size, self.marcher.n_samples,
-            self.contraction, skip_grid, jkey, self.skip_steps,
-        )
-        maskb = k_idx >= 0
-        kk = jnp.maximum(k_idx, 0)
+        n_rays = rays_o.shape[0]
+
+        if isinstance(self.marcher, RayMarcherUnbounded):
+            k_idx, complete = skip_march_unbounded(
+                rays_o, rays_d, self.marcher, self.contraction,
+                skip_grid, jkey, self.skip_steps,
+            )
+            maskb = k_idx >= 0
+            kk = jnp.maximum(k_idx, 0)
+            # positions/deltas via the same closed-form grid the scan used
+            t_grid, d_grid = self.marcher._grid()
+            t_lo = jnp.asarray(t_grid)[kk]
+            deltas = jnp.asarray(d_grid)[kk]
+        else:
+            t_min, t_exit = self.marcher.entry_exit(rays_o, rays_d)
+            k_idx, complete = skip_march(
+                rays_o, rays_d, t_min, t_exit,
+                self.marcher.step_size, self.marcher.n_samples,
+                self.contraction, skip_grid, jkey, self.skip_steps,
+            )
+            maskb = k_idx >= 0
+            kk = jnp.maximum(k_idx, 0)
+            t_lo = t_min[:, None] + kk.astype(jnp.float32) * jnp.float32(
+                self.marcher.step_size
+            )
+            deltas = jnp.full(kk.shape, self.marcher.step_size, jnp.float32)
+
         if jkey is not None:
-            n_rays = rays_o.shape[0]
             u = hash_u01(
                 jkey, jnp.arange(n_rays, dtype=jnp.int32)[:, None], kk
             )
+            t = t_lo + u * deltas
         else:
-            u = jnp.float32(0.0)
-        t = t_min[:, None] + (kk.astype(jnp.float32) + u) * jnp.float32(
-            self.marcher.step_size
-        )
+            t = t_lo
         pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
         cpos, _ = self.contraction(pos)
-        deltas = jnp.full(kk.shape, self.marcher.step_size, jnp.float32)
         return cpos, deltas, maskb.astype(jnp.float32), complete
 
     def _composite(self, weighted_rgb_sum, opacity):

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.hashrng import hash_u01
-from .contraction import ContractionAABB
+from .contraction import ContractionAABB, ContractionMip360
+from .marching import RayMarcherUnbounded
 
 _INF = jnp.int32(1 << 20)
 _MAX_D = 127  # cone distances clip here; advances saturate long before
@@ -140,6 +141,145 @@ def make_skip_grid(occ_bool: jax.Array) -> jax.Array:
             )
             grids.append(jnp.moveaxis(g, 0, axis))
     return jnp.stack(grids)
+
+
+def _maxpool_shift(x: jax.Array, radius: int) -> jax.Array:
+    """Max over shifts {-radius, 0, +radius} along every axis (zero fill);
+    applied to a radius-r pooled map this yields the radius-2r pool."""
+    for axis in range(x.ndim):
+        n = x.shape[axis]
+        r = min(radius, n)
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, r, n, axis=axis),
+             jnp.zeros_like(jax.lax.slice_in_dim(x, 0, r, axis=axis))],
+            axis=axis,
+        )
+        hi = jnp.concatenate(
+            [jnp.zeros_like(jax.lax.slice_in_dim(x, n - r, n, axis=axis)),
+             jax.lax.slice_in_dim(x, 0, n - r, axis=axis)],
+            axis=axis,
+        )
+        x = jnp.maximum(x, jnp.maximum(lo, hi))
+    return x
+
+
+def make_skip_grid_iso(occ_bool: jax.Array, n_levels: int = 8) -> jax.Array:
+    """Isotropic (Chebyshev-ball) skip grid for marchers whose contracted-
+    space paths are CURVED (the Mip-360 contraction bends world rays), where
+    a directional cone cannot be certified.
+
+    int32 [r0, r1, r2]; value semantics per voxel v:
+      0  — truly occupied (emit),
+      g  — every voxel within Chebyshev radius (g - 1) of v is unoccupied.
+    """
+    occ = occ_bool.astype(jnp.float32)
+    g = jnp.where(occ_bool, jnp.int32(0), jnp.int32(1))
+    pooled = _maxpool_shift(occ, 1)
+    radius = 1
+    for _ in range(n_levels):
+        g = jnp.where(
+            ~occ_bool & (pooled == 0.0),
+            jnp.int32(min(1 + radius, _MAX_D)),
+            g,
+        )
+        pooled = _maxpool_shift(pooled, radius)
+        radius *= 2
+    return g
+
+
+def skip_march_unbounded(
+    rays_o: jax.Array,  # [R, 3]
+    rays_d: jax.Array,  # [R, 3] unit-norm
+    marcher: RayMarcherUnbounded,
+    contraction: ContractionMip360,
+    skip_grid: jax.Array,  # [r0, r1, r2] int32 from make_skip_grid_iso
+    key: Optional[jax.Array],
+    n_steps: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Empty-space-skipping march on the disparity grid of the unbounded
+    marcher.
+
+    The skip value certifies a CONTRACTED-space Chebyshev-empty ball; the
+    Mip-360 contraction (including its final /2) is 1/2-Lipschitz, so a
+    contracted radius rho is safe for a world advance of 2*rho.  The world
+    advance converts to a sample-index jump through the closed-form inverse
+    of the disparity spacing.  Same return contract as `skip_march`.
+    """
+    R = rays_o.shape[0]
+    S = marcher.n_samples
+    r0, r1, r2 = skip_grid.shape
+    res = jnp.array([r0 - 1, r1 - 1, r2 - 1], jnp.float32)
+    flat_grid = skip_grid.reshape(-1)
+    ray_ids = jnp.arange(R, dtype=jnp.int32)
+    w_c = 2.0 / float(min(r0, r1, r2) - 1)  # contracted voxel size
+
+    rng = jnp.float32(marcher.uniform_range)
+    near = jnp.float32(marcher.near)
+    # disparity grid: x_k = k * step_x; t_k = f(x_k) * range + near — the
+    # same f32 expression the marcher's dense grid uses, so positions match
+    # bitwise between the two paths
+    step_x = jnp.float32(marcher.step_x)
+    x_last = jnp.float32(S) * step_x  # one past the final sample's x
+
+    def t_of_x(x):
+        f = jnp.where(x < 0.5, 2.0 * x, 1.0 / jnp.maximum(2.0 - 2.0 * x, 1e-9))
+        return f * rng + near
+
+    def x_of_t(t):
+        y = jnp.maximum((t - near) / rng, 0.0)
+        return jnp.where(y < 1.0, y * 0.5, 1.0 - 0.5 / jnp.maximum(y, 1.0))
+
+    def one_round(k, done):
+        kk = jnp.minimum(k, S - 1)
+        xk = kk.astype(jnp.float32) * step_x
+        t_lo = t_of_x(xk)
+        delta = t_of_x((kk + 1).astype(jnp.float32) * step_x) - t_lo
+        if key is not None:
+            u = hash_u01(key, ray_ids, kk)
+        else:
+            u = jnp.float32(0.0)
+        t = t_lo + u * delta
+        pos = rays_o + rays_d * t[:, None]
+        cpos, _ = contraction(pos)
+        idx = jnp.clip(
+            jnp.round((cpos + 1.0) * 0.5 * res), 0.0, res
+        ).astype(jnp.int32)
+        vox = (idx[:, 0] * r1 + idx[:, 1]) * r2 + idx[:, 2]
+        g = flat_grid[vox]
+
+        active = ~done & (k < S)
+        emit = active & (g == 0)
+        # contracted-empty radius rho = (g-1)*w_c; jittered skipped samples
+        # stay within t_{k+m} - t_k of the current sample, whose contracted
+        # displacement is at most half that (1/2-Lipschitz):
+        # safe while t_{k+m} <= t_k + 2*(rho - w_c)  (the -w_c absorbs the
+        # one-voxel rounding of both endpoints)
+        rho = (g.astype(jnp.float32) - 1.0) * w_c
+        t_safe = t_lo + jnp.maximum(2.0 * (rho - w_c), 0.0)
+        k_safe = jnp.floor(
+            jnp.minimum(x_of_t(t_safe), x_last) / step_x
+        ).astype(jnp.int32)
+        adv = jnp.maximum(k_safe - kk, 1)
+        k_next = jnp.where(active, k + adv, k)
+        done_next = done | (k_next >= S)
+        y = jnp.where(emit, kk, jnp.int32(-1))
+        return k_next, done_next, y
+
+    unroll = 2 if n_steps % 2 == 0 else 1
+
+    def body(carry, _):
+        k, done = carry
+        ys = []
+        for _ in range(unroll):
+            k, done, y = one_round(k, done)
+            ys.append(y)
+        return (k, done), jnp.stack(ys)
+
+    init = (jnp.zeros(R, jnp.int32), jnp.zeros(R, bool))
+    (k_fin, done_fin), ys = jax.lax.scan(
+        body, init, None, length=n_steps // unroll
+    )
+    return ys.reshape(n_steps, R).T, done_fin
 
 
 def skip_march(

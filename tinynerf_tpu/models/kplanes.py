@@ -63,9 +63,11 @@ class KPlanesFeatureField:
     #   "mixed" — 4 corner-row gathers fwd, exact f32 scatter bwd
     #   "plain" — straight autodiff (f32 everywhere)
     lookup_mode: str = "fused"
-    # "bfloat16" halves forward gather bytes (the gather path is
-    # byte-rate-limited); "float32" for exact forward
-    gather_dtype: str = "bfloat16"
+    # forward gather dtype: gathers are byte-rate-limited, so fp8 tables
+    # shave bytes further (e4m3 is quality-NEUTRAL at the full schedule,
+    # BASELINE.md: 33.21 dB vs 33.28 bf16 vs 33.03 f32); the backward
+    # scatter always accumulates f32
+    gather_dtype: str = "float8"
     # mixed mode only: backward scatter accumulation dtype
     scatter_dtype: str = "float32"
 
@@ -96,7 +98,10 @@ class KPlanesFeatureField:
 
     def apply(self, params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
         """x: [..., 3] in [-1,1] -> [..., feature_dim]."""
-        gd = jnp.bfloat16 if self.gather_dtype == "bfloat16" else jnp.float32
+        gd = {
+            "bfloat16": jnp.bfloat16,
+            "float8": jnp.float8_e4m3fn,
+        }.get(self.gather_dtype, jnp.float32)
         if self.lookup_mode == "fused":
             return self._apply_fused(params, x, gd, compute_dtype)
         if self.lookup_mode == "quad":

@@ -93,7 +93,7 @@ class TrainConfig:
     # estimate leaves ample step budget (early training = dense); "dense" /
     # "skip" force one path.  skip_steps = scan-step budget per ray.
     march: str = "auto"  # auto | dense | skip
-    skip_steps: int = 80
+    skip_steps: int = 64
     # checkpointing cadence (0 = only at the end); resume picks up latest
     checkpoint_every: int = 0
     # profiling: capture a jax.profiler trace of steps [start, start+count)

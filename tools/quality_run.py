@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--batch_size", type=int, default=1024)
     ap.add_argument("--n_samples", type=int, default=128)
     ap.add_argument("--lookup", default=None, choices=[None, "fused", "quad", "mixed", "plain"])
-    ap.add_argument("--gather-dtype", default=None, choices=[None, "bfloat16", "float32"])
+    ap.add_argument("--gather-dtype", default=None, choices=[None, "bfloat16", "float32", "float8"])
     ap.add_argument("--res", type=int, default=100)
     ap.add_argument("--n_train", type=int, default=12)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
