@@ -157,3 +157,15 @@ def test_unbounded_training(pools, tmp_path):
     cfg = tiny_cfg(tmp_path, method="vanilla", scene_type="unbounded", steps=2)
     out = train(cfg, train_rays, mesh=mesh)
     assert all(np.isfinite(m.loss) for m in out["train_metrics"])
+
+
+def test_train_forced_skip_march(pools, tmp_path):
+    """train() with march='skip' forced exercises the skip-mode step
+    signature, grid recomputation at occupancy updates, and the metrics
+    plumbing end-to-end."""
+    train_rays, _ = pools
+    mesh = make_mesh(jax.devices()[:2])
+    cfg = tiny_cfg(tmp_path, method="kplanes", steps=3, march="skip")
+    out = train(cfg, train_rays, mesh=mesh)
+    assert len(out["train_metrics"]) == 3
+    assert all(np.isfinite(m.loss) for m in out["train_metrics"])
