@@ -34,7 +34,8 @@ def main() -> None:
 
     from tinynerf_tpu.parallel import make_mesh
     from tinynerf_tpu.train import TrainConfig, build_renderer, make_optimizer
-    from tinynerf_tpu.train.loop import make_train_step, pick_bucket
+    from tinynerf_tpu.train.loop import MarchPolicy, make_train_step, pick_bucket
+    from tinynerf_tpu.utils import make_shell_occupancy
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -53,19 +54,8 @@ def main() -> None:
     params = renderer.init(key)
     opt_state = optimizer.init(params)
 
-    # converged-like occupancy: a thin spherical SHELL stays occupied — what
-    # occupancy grids actually converge to on opaque objects (interiors are
-    # culled once surfaces opacify; observed on trained generated scenes,
-    # where steady state reaches the largest ray bucket)
-    occ_state = renderer.occupancy.init_state()
-    r = cfg.occupancy_res
-    ax = (np.arange(r) + 0.5) / r * 2.0 - 1.0
-    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
-    rad = np.sqrt(gx**2 + gy**2 + gz**2)
-    shell = (np.abs(rad - 0.35) < 0.04).astype(np.float32)
-    occ_state = occ_state._replace(
-        grid=jnp.asarray(shell), mean=jnp.float32(shell.mean())
-    )
+    # converged-like occupancy (shared with tools/profile_step.py)
+    occ_state = make_shell_occupancy(renderer, cfg.occupancy_res)
 
     # ray pool: cameras on a sphere of radius 4 aimed at the scene center
     rng = np.random.default_rng(0)
@@ -96,13 +86,10 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # march mode: same policy as the training loop — skip marching once the
-    # demand estimate leaves ample scan-step budget (true at steady state)
-    march = (
-        "skip"
-        if renderer.supports_skip_march and avg_spr <= 0.35 * renderer.skip_steps
-        else "dense"
-    )
+    # march mode: THE training loop's policy object (not a copy of it)
+    march = MarchPolicy(
+        renderer.supports_skip_march, cfg.march, renderer.skip_steps
+    ).pick(avg_spr)
     grid_args = ()
     if march == "skip":
         skip_grid = jax.jit(renderer.skip_grid)(occ_state)

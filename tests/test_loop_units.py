@@ -149,3 +149,65 @@ def test_method_aware_lr_defaults():
     assert cfg(method="vanilla").effective_lr == 1e-3
     assert cfg(method="cobafa").effective_lr == 3e-3
     assert cfg(method="cobafa", lr_init=5e-4).effective_lr == 5e-4
+
+
+def test_march_policy_demand_threshold():
+    from tinynerf_tpu.train.loop import MarchPolicy
+
+    p = MarchPolicy(supported=True, mode="auto", skip_steps=64)
+    assert p.pick(10.0) == "skip"       # ample budget
+    assert p.pick(30.0) == "dense"      # 30 > 0.35 * 64
+    assert MarchPolicy(False, "auto", 64).pick(1.0) == "dense"
+    assert MarchPolicy(True, "dense", 64).pick(1.0) == "dense"
+    assert MarchPolicy(True, "skip", 64).pick(1e9) == "skip"
+
+
+def test_march_policy_transient_fallback_recovers():
+    """A budget-exhaustion trip falls back to dense ONLY until the next
+    occupancy update — a transient demand spike must not forfeit the skip
+    marcher for the rest of the run (the round-2 one-way latch)."""
+    from tinynerf_tpu.train.loop import MarchPolicy
+
+    p = MarchPolicy(supported=True, mode="auto", skip_steps=64)
+    assert p.pick(5.0) == "skip"
+    assert p.observe(0.90) is None       # one-step lag: first obs pends
+    tripped = p.observe(1.0)             # checks the previous (0.90)
+    assert tripped == 0.90
+    assert p.pick(5.0) == "dense"        # suspended for this epoch
+    p.on_occupancy_update()              # re-probe at the next update
+    assert p.pick(5.0) == "skip"
+    # healthy stream never trips
+    for v in (1.0, 0.999, 1.0):
+        assert p.observe(v) is None
+    assert p.pick(5.0) == "skip"
+
+
+def test_decay_mask_derived_from_field_declarations():
+    """The decay/split-lr group masks come from the field module's declared
+    table_keys/mlp_keys; undeclared field params must fail loudly instead of
+    silently decaying."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tinynerf_tpu.models import make_model
+    from tinynerf_tpu.train.loop import _decay_mask
+
+    for method, table_key in (("kplanes", "planes"), ("cobafa", "basis")):
+        field, _, _ = make_model(method)
+        params = {
+            "field": field.init(__import__("jax").random.PRNGKey(0)),
+            "sigma": {"mlp": [(jnp.ones((2, 2)), jnp.zeros(2))]},
+        }
+        mask = _decay_mask(
+            params, table_keys=field.table_keys, mlp_keys=field.mlp_keys
+        )
+        table_leaves = __import__("jax").tree_util.tree_leaves(
+            mask["field"][table_key]
+        )
+        assert table_leaves and not any(table_leaves)  # tables never decay
+        assert all(__import__("jax").tree_util.tree_leaves(mask["sigma"]))
+
+    field, _, _ = make_model("kplanes")
+    bad = {"field": {"planes": [], "surprise": jnp.ones(3)}, "sigma": {}}
+    with pytest.raises(ValueError, match="surprise"):
+        _decay_mask(bad, table_keys=field.table_keys, mlp_keys=field.mlp_keys)

@@ -265,3 +265,57 @@ def test_unbounded_skip_march_equals_dense(density, seed):
         np.testing.assert_array_equal(
             np.asarray(out_d.ray_valid), np.asarray(out_s.ray_valid)
         )
+
+
+def test_skip_march_equals_dense_mask_anisotropic_aabb():
+    """Non-cubic AABB over a cubic grid: per-axis voxel sizes differ, so the
+    dominant axis must be chosen by INDEX rate |d_a|/w_a (a world-space |d|
+    pick would let a finer lateral axis outrun the cone certificate and skip
+    occupied voxels)."""
+    aniso = ((-1.5, -0.6, -1.5), (1.5, 0.6, 1.5))  # y voxels 2.5x finer
+    res, S = 16, 64
+    marcher = RayMarcherAABB(aniso, n_samples=S, near=0.1)
+    field = KPlanesFeatureField(feature_dim_per_plane=4, resolutions=(9, 17))
+    renderer = NerfRenderer(
+        field=field,
+        sigma_decoder=OpacityDecoder(field.feature_dim),
+        rgb_decoder=ColorDecoder(2, field.feature_dim, 16, 1),
+        marcher=marcher,
+        contraction=ContractionAABB(aniso),
+        occupancy=OccupancyGrid.cube(res, marcher.step_size),
+        bg_color=(1.0, 1.0, 1.0),
+        skip_steps=S,
+    )
+    for seed, density in ((0, 0.05), (1, 0.2)):
+        occ = random_occ(renderer, res, density, seed)
+        o, d = random_rays(256, seed + 20)
+        sg = renderer.skip_grid(occ)
+        for key in (None, jax.random.PRNGKey(13)):
+            _, _, maskf = renderer._march(o, d, occ, key)
+            dense = np.asarray(maskf > 0)
+            jkey = jax.random.fold_in(key, 0) if key is not None else None
+            t_min, t_exit = marcher.entry_exit(o, d)
+            k_idx, complete = skip_march(
+                o, d, t_min, t_exit, marcher.step_size, S,
+                renderer.contraction, sg, jkey, S,
+            )
+            assert bool(np.asarray(complete).all())
+            k_idx = np.asarray(k_idx)
+            skip = np.zeros_like(dense)
+            for r in range(k_idx.shape[0]):
+                ks = k_idx[r][k_idx[r] >= 0]
+                skip[r, ks] = True
+            np.testing.assert_array_equal(dense, skip)
+
+
+def test_supports_skip_march_requires_nearest_occupancy():
+    """Trilinear occupancy queries change the dense path's culling
+    criterion; the skip path must refuse rather than silently diverge."""
+    import dataclasses
+
+    r = make_renderer()
+    assert r.supports_skip_march
+    r_tri = dataclasses.replace(
+        r, occupancy=dataclasses.replace(r.occupancy, interp="trilinear")
+    )
+    assert not r_tri.supports_skip_march

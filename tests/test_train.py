@@ -169,3 +169,23 @@ def test_train_forced_skip_march(pools, tmp_path):
     out = train(cfg, train_rays, mesh=mesh)
     assert len(out["train_metrics"]) == 3
     assert all(np.isfinite(m.loss) for m in out["train_metrics"])
+
+
+def test_train_actually_learns(pools, tmp_path):
+    """~60 CPU steps must materially reduce the loss — guards against a
+    change that keeps everything finite but silently stops learning (the
+    gap VERDICT r2 flagged: every other train test only checks
+    isfinite)."""
+    train_rays, _ = pools
+    mesh = make_mesh(jax.devices()[:1])
+    cfg = tiny_cfg(
+        tmp_path, method="kplanes", batch_size=128, n_samples=32, steps=60,
+        occupancy_update_every=1000,  # fixed demand: one compiled step
+        ray_buckets=(1,),
+    )
+    out = train(cfg, train_rays, mesh=mesh)
+    losses = [m.loss for m in out["train_metrics"]]
+    assert len(losses) == 60
+    first = float(np.mean(losses[:5]))
+    last = float(np.mean(losses[-10:]))
+    assert last < 0.5 * first, f"no learning: first={first:.5f} last={last:.5f}"

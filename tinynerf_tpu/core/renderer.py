@@ -152,6 +152,13 @@ class NerfRenderer:
     def supports_skip_march(self) -> bool:
         if self.occupancy is None:
             return False
+        # skip grids are built from, and probed at, NEAREST-voxel occupancy;
+        # with trilinear occupancy queries the dense path culls by a
+        # different (interpolated) criterion, so the skip/dense sample-set
+        # equality the training loop's complete_frac guard assumes would
+        # silently break mid-run — force dense marching instead
+        if self.occupancy.interp != "nearest":
+            return False
         aabb = isinstance(self.marcher, RayMarcherAABB) and isinstance(
             self.contraction, ContractionAABB
         )

@@ -49,6 +49,11 @@ from .marching import RayMarcherUnbounded
 
 _INF = jnp.int32(1 << 20)
 _MAX_D = 127  # cone distances clip here; advances saturate long before
+# Upper bound on the Euclidean-in / Chebyshev-out Lipschitz constant of the
+# order-inf Mip-360 contraction (incl. its final /2).  The true constant is
+# ~0.50596 (attained at ||x||_inf = 1.25 with two near-equal dominant
+# coordinates), NOT 1/2 — see skip_march_unbounded.
+_LIPSCHITZ = 0.5065
 
 
 def _shift2d(x: jax.Array, dy: int, dz: int, fill) -> jax.Array:
@@ -211,10 +216,15 @@ def skip_march_unbounded(
     res = jnp.array([r0 - 1, r1 - 1, r2 - 1], jnp.float32)
     flat_grid = skip_grid.reshape(-1)
     ray_ids = jnp.arange(R, dtype=jnp.int32)
-    w_c = 2.0 / float(min(r0, r1, r2) - 1)  # contracted voxel size
+    w_c = 2.0 / float(max(r0, r1, r2) - 1)  # contracted voxel size (finest axis)
 
     rng = jnp.float32(marcher.uniform_range)
     near = jnp.float32(marcher.near)
+    # the certificate below converts a Chebyshev voxel radius to a contracted
+    # distance; the binding axis is the FINEST one (smallest voxel), so any
+    # per-axis resolution asymmetry must use max(r) (today cube() always
+    # builds cubic grids, but keep the latent trap closed)
+    assert r0 == r1 == r2, "skip_march_unbounded requires a cubic skip grid"
     # disparity grid: x_k = k * step_x; t_k = f(x_k) * range + near — the
     # same f32 expression the marcher's dense grid uses, so positions match
     # bitwise between the two paths
@@ -251,11 +261,17 @@ def skip_march_unbounded(
         emit = active & (g == 0)
         # contracted-empty radius rho = (g-1)*w_c; jittered skipped samples
         # stay within t_{k+m} - t_k of the current sample, whose contracted
-        # displacement is at most half that (1/2-Lipschitz):
-        # safe while t_{k+m} <= t_k + 2*(rho - w_c)  (the -w_c absorbs the
+        # displacement is bounded by L * (t_{k+m} - t_k).  The Euclidean-in /
+        # Chebyshev-out Lipschitz constant of the order-inf Mip-360
+        # contraction is NOT exactly 1/2: it peaks at ~0.50596 near
+        # ||x||_inf = 1.25 with two near-equal dominant coordinates, so the
+        # naive 1/2 advance 2*(rho - w_c) could overshoot the certified ball
+        # by ~1.2% of rho — exactly eating the one-voxel rounding margin.
+        # Divide by a conservative L instead:
+        # safe while t_{k+m} <= t_k + (rho - w_c) / L  (the -w_c absorbs the
         # one-voxel rounding of both endpoints)
         rho = (g.astype(jnp.float32) - 1.0) * w_c
-        t_safe = t_lo + jnp.maximum(2.0 * (rho - w_c), 0.0)
+        t_safe = t_lo + jnp.maximum((rho - w_c) * jnp.float32(1.0 / _LIPSCHITZ), 0.0)
         k_safe = jnp.floor(
             jnp.minimum(x_of_t(t_safe), x_last) / step_x
         ).astype(jnp.int32)
@@ -312,18 +328,23 @@ def skip_march(
     # x-index advance of skipping m samples is < m*delta*|d_a|/w_a + 1, so
     # skipping is safe while that stays <= g-1: m = ceil((g-1)/rate) - 1
     # with rate = delta*|d_a|/w_a (index slices per sample).
+    #
+    # The dominant axis is picked by INDEX rate |d_a|/w_a, not world-space
+    # |d_a|: the cone certificate bounds |lateral index advance| by the axis
+    # index advance, which holds iff every lateral axis's index rate is <=
+    # the dominant one's — for anisotropic voxels (non-cubic cfg.aabb over a
+    # cubic grid) the two rankings differ, and the world-space pick would
+    # let a finer lateral axis outrun the cone and skip occupied voxels.
     lo, hi = (np.asarray(v, np.float32) for v in contraction.aabb)
     w_axis = jnp.asarray((hi - lo) / np.array([r0 - 1, r1 - 1, r2 - 1]))
-    absd = jnp.abs(rays_d)
-    dom = jnp.argmax(absd, axis=-1)  # [R]
+    idx_rate = jnp.abs(rays_d) / w_axis[None, :]  # index slices per unit t
+    dom = jnp.argmax(idx_rate, axis=-1)  # [R]
     sign_neg = jnp.take_along_axis(rays_d, dom[:, None], -1)[:, 0] < 0.0
     grid_sel = dom * 2 + sign_neg.astype(jnp.int32)  # (+a, -a) order
     grid_base = grid_sel * vox_per_grid
     rate = (
-        delta
-        * jnp.take_along_axis(absd, dom[:, None], -1)[:, 0]
-        / w_axis[dom]
-    )  # [R] > 0 since |d|=1 and dom is the max component
+        delta * jnp.take_along_axis(idx_rate, dom[:, None], -1)[:, 0]
+    )  # [R] > 0 since |d|=1 and dom is the max index-rate component
 
     # number of in-box samples: sample k is in the box iff t_k <= t_exit
     # (t >= t_min = entry by construction; out-of-box tails are never
@@ -340,7 +361,10 @@ def skip_march(
             u = hash_u01(key, ray_ids, kk)
         else:
             u = jnp.float32(0.0)
-        t = t_min + (kk.astype(jnp.float32) + u) * delta
+        # SAME f32 expression order as the dense path (t_min + k*delta, then
+        # + u*delta): mixing the rounding orders disagrees by 1 ulp for
+        # probes landing on voxel/box boundaries, breaking bit-equality
+        t = (t_min + kk.astype(jnp.float32) * delta) + u * delta
         pos = rays_o + rays_d * t[:, None]
         # the contraction's own in-box mask makes emission bit-identical to
         # the dense path (a t <= t_exit test disagrees by 1 ulp at box edges)

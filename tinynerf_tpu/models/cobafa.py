@@ -41,11 +41,14 @@ class CobafaFeatureField:
     mlp_hidden_dim: int = 128
     dropout_p: float = 0.01
     # see KPlanesFeatureField.lookup_mode / gather_dtype / scatter_dtype.
-    # Default "mixed" (8 corner-row gathers, exact f32 scatter): the
-    # cell-packed oct layout rebuilds ~340 MB of packed tables per call for
-    # this config's 3-D grids — worthwhile only when the sample count is
-    # large relative to the tables, which cobafa's never is
-    lookup_mode: str = "mixed"  # "quad" = cell-packed (oct rows in 3-D)
+    # "auto" = "quad" on TPU (cell-packed oct rows: ONE bf16 row gather per
+    # sample per grid forward at the ~6 ns/row floor and ONE scatter row
+    # backward, vs "mixed"'s 8 corner gathers + 8 scatter rows — row COUNT,
+    # not width, is what TPU gathers/scatters charge for, BASELINE.md; the
+    # ~0.6 GB bf16 oct-table rebuild per call is dense streaming, ~1-2 ms)
+    # and "mixed" elsewhere (CPU has no row-count floor, and the oct
+    # rebuild of the 128^3 grids dominates small test workloads).
+    lookup_mode: str = "auto"  # quad | mixed | plain
     gather_dtype: str = "bfloat16"
     scatter_dtype: str = "float32"
     # grid init range: basis x coefficient is a two-factor product, so the
@@ -67,6 +70,15 @@ class CobafaFeatureField:
     @property
     def n_levels(self) -> int:
         return len(self.basis_res)
+
+    # optimizer param-group declaration (train/loop.py _decay_mask)
+    @property
+    def table_keys(self) -> frozenset:
+        return frozenset({"basis", "coef"})
+
+    @property
+    def mlp_keys(self) -> frozenset:
+        return frozenset({"mlp"})
 
     def init(self, key: jax.Array):
         keys = jax.random.split(key, self.n_levels + 2)
@@ -103,9 +115,12 @@ class CobafaFeatureField:
         `dropout_key` enables train-mode dropout; None = eval (identity).
         """
         gd = jnp.bfloat16 if self.gather_dtype == "bfloat16" else jnp.float32
-        if self.lookup_mode == "quad":
+        mode = self.lookup_mode
+        if mode == "auto":
+            mode = "quad" if jax.default_backend() == "tpu" else "mixed"
+        if mode == "quad":
             lookup = lambda t, c: trilinear_lookup_oct(t, c, gd)
-        elif self.lookup_mode == "mixed":
+        elif mode == "mixed":
             sd = jnp.bfloat16 if self.scatter_dtype == "bfloat16" else jnp.float32
             lookup = lambda t, c: trilinear_lookup_mixed(t, c, gd, sd)
         else:

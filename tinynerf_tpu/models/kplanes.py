@@ -29,6 +29,7 @@ from ..ops.interp import (
     bilinear_lookup_mixed,
     bilinear_lookup_multiscale,
     bilinear_lookup_quad,
+    multiscale_lookup_multiproj,
 )
 from ..ops.trunc_exp import truncated_exp
 from .encodings import posenc_dim, positional_encoding
@@ -70,10 +71,32 @@ class KPlanesFeatureField:
     gather_dtype: str = "float8"
     # mixed mode only: backward scatter accumulation dtype
     scatter_dtype: str = "float32"
+    # fused mode only: how the fused table gradient is accumulated —
+    # "sorted" = bitonic window partition + one-hot MXU matmuls
+    # (ops/table_grad.py), "scatter" = one XLA scatter per projection,
+    # "auto" = sorted on TPU / scatter elsewhere (see
+    # ops/interp.py:bilinear_lookup_multiscale)
+    bwd_mode: str = "auto"
+    # fused mode only: forward gather shape — "fusedfine" (default: ONE
+    # 384-byte row per sample per projection from the exactly-upsampled
+    # fused fine table — 3 gather row-groups/sample instead of perscale's
+    # 9, measured 41 vs 53 ms at the flagship budget; fp8 midpoint nodes
+    # round once more, A/B'd in BASELINE.md) or "perscale" (one narrow
+    # gather per scale, no extra rounding)
+    fwd_mode: str = "fusedfine"
 
     @property
     def feature_dim(self) -> int:
         return self.feature_dim_per_plane * len(self.resolutions)
+
+    # optimizer param-group declaration (train/loop.py _decay_mask)
+    @property
+    def table_keys(self) -> frozenset:
+        return frozenset({"planes"})
+
+    @property
+    def mlp_keys(self) -> frozenset:
+        return frozenset()
 
     def init(self, key: jax.Array):
         keys = jax.random.split(key, len(self.resolutions) * len(DIMENSION_PAIRS))
@@ -121,25 +144,28 @@ class KPlanesFeatureField:
         return jnp.concatenate(features, axis=-1).astype(compute_dtype)
 
     def _apply_fused(self, params, x, gather_dtype, compute_dtype):
-        """Multiscale lookup per PROJECTION (ops/interp.py
-        bilinear_lookup_multiscale): per-scale narrow gathers forward, ONE
-        wide scatter per projection backward (expressed through the exactly-
-        upsampled fused fine table, whose gradient is pulled back to the
-        per-scale master tables through the upsampling transpose).  Requires
-        nested resolutions; identical values/gradients to per-scale lookups
-        up to f32 rounding."""
+        """Multiscale lookup over all projections in ONE custom VJP
+        (ops/interp.py multiscale_lookup_multiproj): forward per fwd_mode
+        (per-scale narrow gathers or one fused-fine wide gather per
+        projection); backward accumulates the fused fine-table gradient of
+        ALL THREE projections in one batched sorted-window pipeline (or one
+        scatter per projection), then pulls it back to the per-scale master
+        tables through the exact-upsampling transpose.  Requires nested
+        resolutions; identical values/gradients to per-scale lookups up to
+        f32 rounding."""
         n_scales = len(self.resolutions)
         f = self.feature_dim_per_plane
-        per_proj = []
-        for p_idx, (i, j) in enumerate(DIMENSION_PAIRS):
-            tables = tuple(
-                params["planes"][s][p_idx] for s in range(n_scales)
-            )
-            per_proj.append(
-                bilinear_lookup_multiscale(
-                    tables, x[..., jnp.array((i, j))], gather_dtype
-                )
-            )
+        tables_by_proj = tuple(
+            tuple(params["planes"][s][p_idx] for s in range(n_scales))
+            for p_idx in range(len(DIMENSION_PAIRS))
+        )
+        coords_by_proj = tuple(
+            x[..., jnp.array((i, j))] for (i, j) in DIMENSION_PAIRS
+        )
+        per_proj = multiscale_lookup_multiproj(
+            tables_by_proj, coords_by_proj, gather_dtype,
+            self.bwd_mode, self.fwd_mode,
+        )
         features = []
         for s in range(n_scales):
             acc = None

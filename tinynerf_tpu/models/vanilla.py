@@ -40,6 +40,18 @@ class VanillaFeatureField:
     def feature_dim(self) -> int:
         return self.hidden_features
 
+    # optimizer param-group declaration (train/loop.py _decay_mask): which
+    # top-level param keys hold raw feature TABLES (excluded from weight
+    # decay, optionally split-lr) vs MLP/linear weights.  Declared by each
+    # field so a new field cannot silently fall in the wrong group.
+    @property
+    def table_keys(self) -> frozenset:
+        return frozenset()
+
+    @property
+    def mlp_keys(self) -> frozenset:
+        return frozenset({"mlp"})
+
     def init(self, key: jax.Array):
         return {
             "mlp": mlp_init(

@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _to_index_space(c, res):
@@ -355,12 +356,23 @@ trilinear_lookup_oct.defvjp(_trilinear_oct_fwd, _trilinear_oct_bwd)
 
 
 def _upsample2x_axis0(x: jax.Array) -> jax.Array:
-    """[r, ...] -> [2r-1, ...]: nodes kept, midpoints averaged in."""
-    mid = 0.5 * (x[:-1] + x[1:])
-    inter = jnp.stack([x[:-1], mid], axis=1).reshape(
-        2 * (x.shape[0] - 1), *x.shape[1:]
-    )
-    return jnp.concatenate([inter, x[-1:]], axis=0)
+    """[r, ...] -> [2r-1, ...]: nodes kept, midpoints averaged in.
+
+    Implemented with interior padding + shifted adds (not stack/reshape
+    interleaving, which XLA materializes repeatedly — the fused-fine table
+    build was ~3x slower that way).  At odd rows the two shifted copies hold
+    the flanking nodes, so 0.5*(up + dn) is exactly the midpoint average."""
+    r = x.shape[0]
+    cfg = [(0, 0, 1)] + [(0, 0, 0)] * (x.ndim - 1)
+    m = jax.lax.pad(x, jnp.zeros((), x.dtype), cfg)  # x at even rows
+    zero_row = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    up = jnp.concatenate([zero_row, m[:-1]], axis=0)  # m shifted down
+    dn = jnp.concatenate([m[1:], zero_row], axis=0)  # m shifted up
+    odd = (jax.lax.broadcasted_iota(jnp.int32, (2 * r - 1,), 0) % 2).astype(
+        bool
+    ).reshape((2 * r - 1,) + (1,) * (x.ndim - 1))
+    half = jnp.asarray(0.5, x.dtype)
+    return jnp.where(odd, half * (up + dn), m)
 
 
 def upsample2x_exact(table: jax.Array) -> jax.Array:
@@ -404,42 +416,97 @@ def _quad_lookup_fwd_value(table, coords, gather_dtype):
     return jnp.sum(vals * w[..., None], axis=-2)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def bilinear_lookup_multiscale(tables, coords, gather_dtype=jnp.bfloat16):
-    """tables: tuple of [r_s, r_s, F] planes whose (r-1) nest by powers of
-    two; coords [..., 2] in [-1,1].  Returns the feature-wise concat of the
-    per-scale bilinear lookups, [..., n_scales * F]."""
+def build_fused_fine(tables) -> jax.Array:
+    """Exactly upsample every scale to the finest resolution and concat
+    features: [r_f, r_f, f_tot].  Bilinear-exact (upsample2x_exact), so a
+    bilinear lookup in the fused table equals the per-scale lookups."""
+    r_fine = max(t.shape[0] for t in tables)
+    return jnp.concatenate(
+        [upsample_to(t, r_fine, r_fine) for t in tables], axis=-1
+    )
+
+
+def _multiscale_value(tables, coords, gather_dtype, fwd_impl):
+    """Forward value shared by the single- and multi-projection ops."""
+    if fwd_impl == "fusedfine":
+        r_fine = max(t.shape[0] for t in tables)
+        f_tot = sum(t.shape[-1] for t in tables)
+        # round to the gather dtype FIRST (coarse nodes then match the
+        # perscale path bit-for-bit) and upsample in bf16 — midpoint halving
+        # averages of fp8 values are EXACT in bf16 through the 2-level
+        # nesting chain, and the build traffic is 1/2 of the f32 path
+        hold = jnp.float32 if gather_dtype == jnp.float32 else jnp.bfloat16
+        cast = tuple(t.astype(gather_dtype).astype(hold) for t in tables)
+        fine = jnp.concatenate(
+            [upsample_to(t, r_fine, r_fine) for t in cast], axis=-1
+        )
+        quad = _build_quad(fine, gather_dtype)
+        cell, w = _cell_2d(coords, r_fine, r_fine)
+        rows = jnp.take(quad, cell, axis=0)
+        # corner reduce via lane SLICES (a [n, 4F] -> [n, 4, F] reshape
+        # splits lanes, which XLA materializes as an f32 relayout of the
+        # whole gather output — measured +20 ms at the flagship budget)
+        out = None
+        for c in range(4):
+            v = rows[..., c * f_tot : (c + 1) * f_tot].astype(jnp.float32)
+            term = v * w[..., c : c + 1]
+            out = term if out is None else out + term
+        return out
     return jnp.concatenate(
         [_quad_lookup_fwd_value(t, coords, gather_dtype) for t in tables],
         axis=-1,
     )
 
 
-def _multiscale_fwd(tables, coords, gather_dtype):
-    return bilinear_lookup_multiscale(tables, coords, gather_dtype), (
-        tables,
-        coords,
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def bilinear_lookup_multiscale(
+    tables, coords, gather_dtype=jnp.bfloat16, bwd_impl="auto",
+    fwd_impl="perscale",
+):
+    """tables: tuple of [r_s, r_s, F] planes whose (r-1) nest by powers of
+    two; coords [..., 2] in [-1,1].  Returns the feature-wise concat of the
+    per-scale bilinear lookups, [..., n_scales * F].
+
+    `bwd_impl` selects how the fused fine-table gradient is accumulated:
+      "scatter" — one XLA scatter-add per projection (row-serialized,
+                  ~21 ns/row — but effectively ~73 GB/s for these wide
+                  rows);
+      "sorted"  — bitonic window partition + one-hot MXU accumulation
+                  (ops/table_grad.py).  Measured SLOWER single-chip at the
+                  flagship budget (~96 ms vs ~71 ms for 3 projections): the
+                  payload permutation gather runs at the TPU's ~40 GB/s
+                  gather limit, which the scatter path never pays
+                  (BASELINE.md round-3 measurements);
+      "auto"    — "scatter" (the measured winner; also the jnp reference
+                  and the CPU path, where interpret-mode Pallas is slow).
+
+    `fwd_impl` selects the forward gather shape:
+      "perscale"  — one cell-packed gather per scale (narrow rows).  At fp8
+                    these rows are LATENCY-floored (~6 ns/row >> their
+                    byte cost), so n_scales gathers pay the floor each;
+      "fusedfine" — gather ONE [4 * f_tot]-wide row per sample from the
+                    exactly-upsampled fused fine table (byte-limited, which
+                    a wide row amortizes; ~2x fewer gather ms at the
+                    flagship fp8 config).  Upsampled midpoint nodes round
+                    to gather_dtype once more than "perscale" — a
+                    quality-A/B'd deviation (BASELINE.md).
+    """
+    return _multiscale_value(tables, coords, gather_dtype, fwd_impl)
+
+
+def _multiscale_fwd(tables, coords, gather_dtype, bwd_impl, fwd_impl):
+    return (
+        bilinear_lookup_multiscale(
+            tables, coords, gather_dtype, bwd_impl, fwd_impl
+        ),
+        (tables, coords),
     )
 
 
-def _multiscale_bwd(gather_dtype, res, g):
-    tables, coords = res
-    r_fine = max(t.shape[0] for t in tables)
-    f_tot = sum(t.shape[-1] for t in tables)
-    cell, w = _cell_2d(coords, r_fine, r_fine)
-    # corner-major rows [c0(f_tot), c1, c2, c3]
-    contrib = (w[..., :, None] * g[..., None, :]).reshape(-1, 4 * f_tot)
-    n_cells = (r_fine - 1) * (r_fine - 1)
-    gq = (
-        jnp.zeros((n_cells, 4 * f_tot), jnp.float32)
-        .at[cell.reshape(-1)]
-        .add(contrib)
-    ).reshape(r_fine - 1, r_fine - 1, 4, f_tot)
-    fine = jnp.zeros((r_fine, r_fine, f_tot), jnp.float32)
-    fine = fine.at[:-1, :-1].add(gq[:, :, 0])
-    fine = fine.at[:-1, 1:].add(gq[:, :, 1])
-    fine = fine.at[1:, :-1].add(gq[:, :, 2])
-    fine = fine.at[1:, 1:].add(gq[:, :, 3])
+def _pullback_scales(fine, tables):
+    """Split the fused fine-grid gradient feature-wise and pull each slice
+    back through the (linear) exact-upsampling transpose to its master."""
+    r_fine = fine.shape[0]
     grads = []
     off = 0
     for t in tables:
@@ -452,10 +519,146 @@ def _multiscale_bwd(gather_dtype, res, g):
                 lambda tt: upsample_to(tt, r_fine, r_fine), jnp.zeros_like(t)
             )
             grads.append(pullback(sl)[0])
-    return tuple(grads), jnp.zeros_like(coords)
+    return tuple(grads)
+
+
+def _fine_from_quad(gq, r_fine, f_tot):
+    """[n_cells, 4*f_tot] corner-major quad gradient -> [r, r, f_tot]."""
+    gq = gq.reshape(r_fine - 1, r_fine - 1, 4, f_tot)
+    fine = jnp.zeros((r_fine, r_fine, f_tot), jnp.float32)
+    fine = fine.at[:-1, :-1].add(gq[:, :, 0])
+    fine = fine.at[:-1, 1:].add(gq[:, :, 1])
+    fine = fine.at[1:, :-1].add(gq[:, :, 2])
+    fine = fine.at[1:, 1:].add(gq[:, :, 3])
+    return fine
+
+
+def _multiscale_bwd(gather_dtype, bwd_impl, fwd_impl, res, g):
+    from .bitonic import packed_bits_ok
+    from .table_grad import table_grad_sorted
+
+    tables, coords = res
+    r_fine = max(t.shape[0] for t in tables)
+    f_tot = sum(t.shape[-1] for t in tables)
+    n_cells = (r_fine - 1) * (r_fine - 1)
+    cell, w = _cell_2d(coords, r_fine, r_fine)
+    n = int(np.prod(cell.shape)) if cell.shape else 1
+
+    impl = "scatter" if bwd_impl == "auto" else bwd_impl
+    if impl == "sorted" and not packed_bits_ok(-(-n_cells // 256), n):
+        impl = "scatter"
+
+    if impl == "sorted":
+        gq = table_grad_sorted(
+            g.reshape(1, n, f_tot),
+            w.reshape(1, n, 4),
+            cell.reshape(1, n),
+            n_cells,
+        )[0]
+    else:
+        # corner-major rows [c0(f_tot), c1, c2, c3]
+        contrib = (w[..., :, None] * g[..., None, :]).reshape(-1, 4 * f_tot)
+        gq = (
+            jnp.zeros((n_cells, 4 * f_tot), jnp.float32)
+            .at[cell.reshape(-1)]
+            .add(contrib)
+        )
+    fine = _fine_from_quad(gq, r_fine, f_tot)
+    return _pullback_scales(fine, tables), jnp.zeros_like(coords)
 
 
 bilinear_lookup_multiscale.defvjp(_multiscale_fwd, _multiscale_bwd)
+
+
+# --------------------------------------------------------------------------
+# Multi-projection multiscale lookup: ONE custom VJP over all three K-Planes
+# projections, so the backward can BATCH the three sorted-window pipelines
+# (ops/table_grad.py) — the bitonic partition's cost is per-pass fixed, so
+# sorting the three projections stacked in one kernel costs about the same
+# as one (ops/bitonic.py), and the accumulation kernel's grid runs all
+# (projection, window) pairs in one launch.
+# --------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def multiscale_lookup_multiproj(
+    tables_by_proj,  # tuple over projections of tuples over scales
+    coords_by_proj,  # tuple over projections of [..., 2] coords in [-1,1]
+    gather_dtype=jnp.bfloat16,
+    bwd_impl="auto",
+    fwd_impl="perscale",
+):
+    """Per-projection multiscale lookups with one shared (batched) backward.
+
+    Returns a tuple over projections of [..., n_scales * F] features —
+    value-identical to calling bilinear_lookup_multiscale per projection
+    (same fwd_impl semantics); gradients are identical up to f32 summation
+    order."""
+    return tuple(
+        _multiscale_value(t, c, gather_dtype, fwd_impl)
+        for t, c in zip(tables_by_proj, coords_by_proj)
+    )
+
+
+def _multiproj_fwd(tables_by_proj, coords_by_proj, gather_dtype, bwd_impl, fwd_impl):
+    out = multiscale_lookup_multiproj(
+        tables_by_proj, coords_by_proj, gather_dtype, bwd_impl, fwd_impl
+    )
+    return out, (tables_by_proj, coords_by_proj)
+
+
+def _multiproj_bwd(gather_dtype, bwd_impl, fwd_impl, res, gs):
+    from .bitonic import packed_bits_ok
+    from .table_grad import table_grad_sorted
+
+    tables_by_proj, coords_by_proj = res
+    n_proj = len(tables_by_proj)
+    r_fine = max(t.shape[0] for t in tables_by_proj[0])
+    f_tot = sum(t.shape[-1] for t in tables_by_proj[0])
+    n_cells = (r_fine - 1) * (r_fine - 1)
+    n = int(np.prod(gs[0].shape[:-1])) if gs[0].ndim > 1 else 1
+
+    impl = "scatter" if bwd_impl == "auto" else bwd_impl
+    if impl == "sorted" and not packed_bits_ok(-(-n_cells // 256), n):
+        impl = "scatter"
+
+    cells, ws = [], []
+    for coords in coords_by_proj:
+        cell, w = _cell_2d(coords, r_fine, r_fine)
+        cells.append(cell.reshape(n))
+        ws.append(w.reshape(n, 4))
+
+    if impl == "sorted":
+        gq_all = table_grad_sorted(
+            jnp.stack([g.reshape(n, f_tot) for g in gs]),
+            jnp.stack(ws),
+            jnp.stack(cells),
+            n_cells,
+        )
+        gq_by_proj = [gq_all[p] for p in range(n_proj)]
+    else:
+        # per-projection scatters, NOT stacked — a stack materializes an
+        # extra 1.2 GB copy of the quad grads at the flagship budget
+        gq_by_proj = [
+            jnp.zeros((n_cells, 4 * f_tot), jnp.float32)
+            .at[cells[p]]
+            .add(
+                (ws[p][:, :, None] * gs[p].reshape(n, 1, f_tot)).reshape(
+                    n, 4 * f_tot
+                )
+            )
+            for p in range(n_proj)
+        ]
+
+    table_grads = []
+    for p in range(n_proj):
+        fine = _fine_from_quad(gq_by_proj[p], r_fine, f_tot)
+        table_grads.append(_pullback_scales(fine, tables_by_proj[p]))
+    coord_grads = tuple(jnp.zeros_like(c) for c in coords_by_proj)
+    return tuple(table_grads), coord_grads
+
+
+multiscale_lookup_multiproj.defvjp(_multiproj_fwd, _multiproj_bwd)
 
 
 def sawtooth(x: jax.Array, f: float) -> jax.Array:

@@ -1,0 +1,240 @@
+"""Sorted-window table-gradient accumulation — the MXU scatter replacement.
+
+The backward of a cell-packed bilinear/trilinear lookup is a scatter-add of
+per-sample contribution rows contrib[i] = concat_c(w[i, c] * g[i, :]) into
+corner-packed gradient rows cell[i] of a [n_cells, n_corners * F] table.
+XLA lowers that to a row-serialized scatter (~21 ns/row + ~6 ms fixed per
+call — ~71 ms/step at the flagship budget, BASELINE.md).  Here the samples
+are first grouped by table WINDOW (W consecutive cells) with the in-VMEM
+bitonic partition (ops/bitonic.py), and each window is then accumulated with
+one-hot MXU matmuls:
+
+    T_w[W, nc*F] += onehot[C, W]^T @ contrib_chunk[C, nc*F]
+
+streamed chunk-by-chunk from HBM with explicit DMA.  Everything is
+vectorized: no per-row serialization anywhere in the pipeline.
+
+Data layout: ONE packed f32 row per sample — [g(F) | w(nc) | cell] — so the
+whole sorted stream costs ONE permutation gather (row gathers are
+latency-floored at ~6 ns/row on narrow rows, so three separate gathers for
+g/w/cell would pay the floor three times) and one DMA stream in the kernel.
+`cell` rides as an exact f32 integer (n_cells << 2^24).  DMA chunk bases are
+aligned DOWN to 32 rows (Mosaic requires provably tile-aligned dynamic
+slices); rows outside [start, end) are masked in the one-hot.
+
+Precision: contributions are computed in f32 on the VPU, split into a bf16
+(hi, lo) pair and accumulated with TWO bf16 matmuls into an f32 accumulator
+— each term carries ~16 mantissa bits, so the result matches the f32
+scatter reference to ~1e-5 relative (tests assert this).
+
+Replaces the backward of torch grid_sample (/root/reference/src/models.py:
+105-113) in the K-Planes path; wired in via ops/interp.py's multiscale
+lookup and models/kplanes.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bitonic import pack_keys, packed_bits_ok, sort_i32, unpack_keys
+
+_CHUNK = 512  # samples per DMA/matmul chunk
+_ALIGN = 32  # DMA sublane alignment (covers f32/bf16/fp8 tile heights)
+
+
+def _accum_kernel(
+    offsets_ref,  # SMEM [P, NW + 1] i32 (scalar prefetch)
+    packed_ref,  # HBM [P, M, F + nc + 1] f32, window-sorted
+    out_ref,  # VMEM block [1, W, nc*F] f32
+    buf,  # VMEM [C, F + nc + 1] f32 scratch
+    sem,  # DMA semaphore
+    *,
+    w_window: int,
+    f_dim: int,
+    n_corners: int,
+):
+    p = pl.program_id(0)
+    w = pl.program_id(1)
+    start = offsets_ref[p, w]
+    end = offsets_ref[p, w + 1]
+    c = _CHUNK
+    # chunk bases must be provably tile-aligned for the dynamic DMA slice;
+    # rows in [base0, start) belong to the previous window and are masked
+    base0 = pl.multiple_of((start // _ALIGN) * _ALIGN, _ALIGN)
+    n_chunks = (end - base0 + (c - 1)) // c
+
+    cell_base = w * w_window
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (c, w_window), 1)
+
+    def body(ci, acc):
+        base = pl.multiple_of(base0 + ci * c, _ALIGN)
+        cp = pltpu.make_async_copy(
+            packed_ref.at[p, pl.ds(base, c), :], buf, sem
+        )
+        cp.start()
+        cp.wait()
+
+        pos = base + iota_c  # [C, 1]
+        valid = (pos >= start) & (pos < end)
+        cell = buf[:, f_dim + n_corners : f_dim + n_corners + 1].astype(
+            jnp.int32
+        )  # [C, 1]
+        local = cell - cell_base
+        onehot = ((iota_w == local) & valid).astype(jnp.bfloat16)  # [C, W]
+
+        g = buf[:, :f_dim]  # [C, F] f32
+        contrib = jnp.concatenate(
+            [buf[:, f_dim + k : f_dim + k + 1] * g for k in range(n_corners)],
+            axis=1,
+        )  # [C, nc*F] f32
+        hi = contrib.astype(jnp.bfloat16)
+        lo = (contrib - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            onehot, hi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + jax.lax.dot_general(
+            onehot, lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc
+
+    acc0 = jnp.zeros((w_window, n_corners * f_dim), jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(0, n_chunks, body, acc0)
+
+
+def windowed_accumulate(
+    packed_s: jax.Array,  # [P, M, F + nc + 1] f32, sorted by window
+    offsets: jax.Array,  # [P, NW + 1] i32 cumulative counts per window
+    f_dim: int,
+    n_corners: int,
+    n_cells_pad: int,
+    w_window: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """-> [P, n_cells_pad, nc*F] f32: sum over samples i in each cell of
+    concat_c(w[i, c] * g[i, :]).  M must include >= _CHUNK rows of slack
+    past offsets[:, -1] (fixed-size DMA chunks; the tail is masked)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p, m, fp = packed_s.shape
+    assert fp >= f_dim + n_corners + 1
+    assert fp % 128 == 0, "packed rows must be 128-lane aligned for the DMA"
+    assert n_cells_pad % w_window == 0
+    nw = n_cells_pad // w_window
+    assert offsets.shape == (p, nw + 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p, nw),
+        in_specs=[
+            # pinned to HBM: the kernel streams dynamic slices via DMA
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, w_window, n_corners * f_dim), lambda pi, wi, *_: (pi, wi, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_CHUNK, fp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = partial(
+        _accum_kernel, w_window=w_window, f_dim=f_dim, n_corners=n_corners
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (p, n_cells_pad, n_corners * f_dim), jnp.float32
+        ),
+        interpret=interpret,
+    )(offsets.astype(jnp.int32), packed_s.astype(jnp.float32))
+
+
+# ------------------------------------------------------------------ pipeline
+
+
+def sort_by_window(
+    cell: jax.Array,  # [P, n] i32 cell ids in [0, n_cells_pad)
+    n_cells_pad: int,
+    w_window: int,
+    interpret: bool | None = None,
+):
+    """Partition samples by table window.
+
+    Returns (perm [P, n] i32 gather indices grouped by window ascending,
+    offsets [P, NW + 1] i32 window sample ranges).  Within-window order is
+    arbitrary (the accumulation is order-invariant up to f32 rounding)."""
+    p, n = cell.shape
+    nw = n_cells_pad // w_window
+    assert packed_bits_ok(nw, n), (nw, n)
+    idx_bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    shift = int(np.log2(w_window))
+    assert (1 << shift) == w_window, "w_window must be a power of two"
+    keys = pack_keys(cell >> shift, idx_bits)
+    skeys = sort_i32(keys, interpret=interpret)
+    bucket, perm = unpack_keys(skeys, idx_bits)
+    # window start offsets: first position with bucket >= w, per projection
+    queries = jnp.arange(nw + 1, dtype=jnp.int32)
+    offsets = jax.vmap(
+        lambda b: jnp.searchsorted(b, queries, side="left")
+    )(bucket).astype(jnp.int32)
+    return perm, offsets
+
+
+def table_grad_sorted(
+    g: jax.Array,  # [P, n, F] cotangents f32
+    w_corners: jax.Array,  # [P, n, nc] corner lerp weights f32
+    cell: jax.Array,  # [P, n] i32 cell ids in [0, n_cells)
+    n_cells: int,
+    w_window: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Drop-in replacement for
+    `zeros(n_cells, nc*F).at[cell].add(concat_c(w[:, :, c, None] * g))`
+    built from sort_by_window + ONE packed permutation gather +
+    windowed_accumulate.  Returns [P, n_cells, nc*F] f32.
+    """
+    p, n, f_dim = g.shape
+    nc = w_corners.shape[-1]
+    n_cells_pad = -(-n_cells // w_window) * w_window
+    perm, offsets = sort_by_window(cell, n_cells_pad, w_window, interpret)
+    fp = f_dim + nc + 1
+    fp_pad = -(-fp // 128) * 128  # lane-dim DMA slices must be 128-aligned
+    packed = jnp.concatenate(
+        [g, w_corners, cell[:, :, None].astype(jnp.float32)]
+        + ([jnp.zeros((p, n, fp_pad - fp), jnp.float32)] if fp_pad > fp else []),
+        axis=-1,
+    )
+    packed_s = jnp.take_along_axis(packed, perm[:, :, None], axis=1)
+    # DMA slack: fixed-size aligned chunks may read past the last valid row
+    packed_s = jnp.pad(packed_s, ((0, 0), (0, _CHUNK), (0, 0)))
+    out = windowed_accumulate(
+        packed_s, offsets, f_dim, nc, n_cells_pad, w_window, interpret
+    )
+    return out[:, :n_cells]
+
+
+def windowed_accumulate_ref(g_s, w_s, cell_s, n_cells):
+    """jnp semantic reference (scatter-add) for numeric tests."""
+    p, n, f_dim = g_s.shape
+    nc = w_s.shape[-1]
+    out = []
+    for pi in range(p):
+        contrib = jnp.concatenate(
+            [w_s[pi, :, k : k + 1] * g_s[pi] for k in range(nc)], axis=1
+        )
+        out.append(
+            jnp.zeros((n_cells, nc * f_dim), jnp.float32)
+            .at[cell_s[pi]]
+            .add(contrib)
+        )
+    return jnp.stack(out)

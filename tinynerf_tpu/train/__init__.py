@@ -1,6 +1,14 @@
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .config import TrainConfig
-from .loop import build_renderer, evaluate, infer, make_optimizer, make_train_step, train
+from .loop import (
+    MarchPolicy,
+    build_renderer,
+    evaluate,
+    infer,
+    make_optimizer,
+    make_train_step,
+    train,
+)
 from .metrics import EvalMetrics, TrainMetrics, eval_metrics, psnr, ssim
 
 __all__ = [
@@ -11,6 +19,7 @@ __all__ = [
     "build_renderer",
     "make_optimizer",
     "make_train_step",
+    "MarchPolicy",
     "EvalMetrics",
     "TrainMetrics",
     "eval_metrics",

@@ -94,6 +94,12 @@ class TrainConfig:
     # "skip" force one path.  skip_steps = scan-step budget per ray.
     march: str = "auto"  # auto | dense | skip
     skip_steps: int = 64
+    # rematerialize the feature field in the backward pass (trades one extra
+    # field forward for not holding per-layer activations of sample_cap
+    # points in HBM).  None = auto: only the wide vanilla MLP at large
+    # sample caps (the one case whose activations approach HBM capacity);
+    # True/False force it.
+    remat_field: Optional[bool] = None
     # checkpointing cadence (0 = only at the end); resume picks up latest
     checkpoint_every: int = 0
     # profiling: capture a jax.profiler trace of steps [start, start+count)

@@ -125,14 +125,20 @@ def build_renderer(cfg: TrainConfig, scene_scale: float, bg_color) -> NerfRender
         bg_color=tuple(float(c) for c in bg_color) if bg_color is not None else None,
         early_termination=cfg.early_termination,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
-        # the wide vanilla MLP would hold ~8 GB of activations at the full
-        # sample budget; remat keeps it to one layer's worth
-        remat_field=(cfg.method == "vanilla"),
+        # auto: only the wide vanilla MLP at caps whose activations approach
+        # HBM capacity (~0.5 MB/sample-k-layer; 3.3M samples ~ 17 GB) needs
+        # remat; at the flagship 819k cap the activations fit and remat's
+        # extra forward is pure overhead (measured, BASELINE.md round 3)
+        remat_field=(
+            cfg.remat_field
+            if cfg.remat_field is not None
+            else (cfg.method == "vanilla" and cfg.sample_cap > 2_000_000)
+        ),
         skip_steps=min(cfg.skip_steps, cfg.n_samples),
     )
 
 
-def _decay_mask(params) -> object:
+def _decay_mask(params, table_keys=frozenset(), mlp_keys=frozenset({"mlp"})) -> object:
     """Weight-decay mask: decay MLP/linear weights, NOT raw feature tables.
 
     The reference decays everything (torch Adam(weight_decay=1e-5)), but
@@ -140,10 +146,29 @@ def _decay_mask(params) -> object:
     sparsely-supervised table cell steps at the full learning rate and
     flattens the tables (observed as field collapse).  Excluding embedding-
     like tables from decay is the standard remedy.
+
+    Group membership is DECLARED by the field module (`field.table_keys` /
+    `field.mlp_keys`) rather than matched on parameter-dict names: a future
+    field whose params use an unanticipated key fails loudly here instead of
+    silently decaying its tables — the exact failure mode this mask exists
+    to prevent.  Decoder params (the "sigma"/"rgb" subtrees) are always
+    MLP/linear weights and always decay.
     """
+    if isinstance(params, dict) and "field" in params:
+        undeclared = set(params["field"].keys()) - set(table_keys) - set(mlp_keys)
+        if undeclared:
+            raise ValueError(
+                f"field params {sorted(undeclared)} are not declared in the "
+                f"field's table_keys={sorted(table_keys)} or "
+                f"mlp_keys={sorted(mlp_keys)}; declare them so the optimizer "
+                f"classifies them deliberately"
+            )
+
     def mask_entry(path, leaf):
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-        return any(k in ("mlp", "linear") for k in keys)
+        if keys and keys[0] == "field":
+            return not any(k in table_keys for k in keys[1:])
+        return True
 
     return jax.tree_util.tree_map_with_path(mask_entry, params)
 
@@ -165,7 +190,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     matching torch Adam(weight_decay=...) + MultiStepLR semantics (decay
     masked off the feature tables — see _decay_mask)."""
     schedule = lr_schedule(cfg)
-    decay_mask = None if cfg.decay_tables else _decay_mask
+    field, _, _ = make_model(cfg.method)
+    mask_fn = partial(
+        _decay_mask,
+        table_keys=frozenset(field.table_keys),
+        mlp_keys=frozenset(field.mlp_keys),
+    )
+    decay_mask = None if cfg.decay_tables else mask_fn
     chain = [
         optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
         optax.scale_by_adam(eps=cfg.adam_eps),
@@ -179,7 +210,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         ratio = lr_tables / cfg.effective_lr
 
         def table_mask(params):
-            return jax.tree_util.tree_map(lambda m: not m, _decay_mask(params))
+            return jax.tree_util.tree_map(lambda m: not m, mask_fn(params))
 
         chain.append(optax.masked(optax.scale(ratio), table_mask))
     return optax.chain(*chain)
@@ -505,6 +536,66 @@ class BucketEstimator:
         return pick_bucket(self.cfg, self.avg_samples_per_ray)
 
 
+class MarchPolicy:
+    """Dense-vs-skip marching choice, shared by train(), bench.py and
+    tools/profile_step.py (one definition, so the bench provably measures
+    the trainer's policy).
+
+    The empty-space-skipping marcher engages once the demand estimate leaves
+    ample scan-step budget (avg samples/ray <= SKIP_DEMAND_FRACTION *
+    skip_steps).  Skip-marched rays that exhaust the budget anyway are
+    loss-excluded, and systematically excluding the densest rays would bias
+    training — so `observe` watches complete_frac on EVERY skip step (with a
+    one-step lag: the check reads the PREVIOUS step's already-materialized
+    device scalar, so it never stalls the dispatch pipeline) and, on a trip,
+    falls back to dense marching FOR THE CURRENT OCCUPANCY EPOCH ONLY.  The
+    next occupancy update re-probes, so a transient demand spike (e.g. right
+    after an update, before the estimator refreshes) does not forfeit the
+    skip marcher for the rest of the run.
+    """
+
+    SKIP_DEMAND_FRACTION = 0.35
+    COMPLETE_MIN = 0.995
+
+    def __init__(self, supported: bool, mode: str, skip_steps: int):
+        assert mode in ("auto", "dense", "skip"), mode
+        self.can_skip = supported and mode != "dense"
+        self.forced = mode == "skip"
+        self.skip_steps = skip_steps
+        self.suspended = False  # until the next occupancy update
+        self._pending = None  # complete_frac device scalar, last skip step
+
+    def on_occupancy_update(self) -> None:
+        self.suspended = False
+        self._pending = None
+
+    def pick(self, avg_samples_per_ray: float) -> str:
+        if not self.can_skip or self.suspended:
+            return "dense"
+        if self.forced:
+            return "skip"
+        return (
+            "skip"
+            if avg_samples_per_ray
+            <= self.SKIP_DEMAND_FRACTION * self.skip_steps
+            else "dense"
+        )
+
+    def observe(self, complete_frac) -> Optional[float]:
+        """Feed a skip step's complete_frac scalar; checks the previous
+        one.  Returns the offending fraction when this trips the dense
+        fallback, else None."""
+        prev, self._pending = self._pending, complete_frac
+        if prev is None:
+            return None
+        val = float(prev)
+        if val < self.COMPLETE_MIN:
+            self.suspended = True
+            self._pending = None
+            return val
+        return None
+
+
 # ---------------------------------------------------------------------- train
 
 
@@ -581,30 +672,9 @@ def train(
             )
         return steps_by_key[k]
 
-    # march-mode policy: the skip marcher pays off (and stays within its
-    # per-ray step budget) only once culling leaves ample margin; early
-    # training (everything occupied) uses the dense path.  If skip-marched
-    # rays start exhausting the step budget anyway (complete_frac from the
-    # step metrics — scene geometry more tortuous than the heuristic
-    # assumes), skip mode is disabled for the rest of the run: truncated
-    # rays are loss-excluded, and systematically excluding the densest rays
-    # would bias training.
-    skip_disabled = False
-    can_skip = renderer.supports_skip_march and cfg.march != "dense"
-
-    def pick_march() -> str:
-        if not can_skip or skip_disabled:
-            return "dense"
-        if cfg.march == "skip":
-            return "skip"
-        return (
-            "skip"
-            if estimator.avg_samples_per_ray <= 0.35 * renderer.skip_steps
-            else "dense"
-        )
-
-    skip_fn = jax.jit(renderer.skip_grid) if can_skip else None
-    skip_grid = skip_fn(occ_state) if can_skip else None
+    policy = MarchPolicy(renderer.supports_skip_march, cfg.march, renderer.skip_steps)
+    skip_fn = jax.jit(renderer.skip_grid) if policy.can_skip else None
+    skip_grid = skip_fn(occ_state) if policy.can_skip else None
 
     occ_update = make_occupancy_update(
         renderer, mesh if cfg.occupancy_res % n_dev == 0 else None
@@ -620,7 +690,8 @@ def train(
     estimator = BucketEstimator(cfg)
     eval_ptr = 0
     t_start = time.perf_counter()
-    rays_total = 0.0
+    rays_candidate = 0.0
+    counters = {"rays_used": 0.0}
 
     def flush_pending():
         if not pending:
@@ -631,6 +702,7 @@ def train(
             train_metrics.append(
                 TrainMetrics(loss=float(loss_v), occupancy=float(occ_v))
             )
+            counters["rays_used"] += float(rays_v)
         pending.clear()
 
     # cached device scalar; recomputed only when the grid changes
@@ -655,12 +727,13 @@ def train(
         if step_i % cfg.occ_update_every == 0:
             occ_state = occ_update(params, occ_state, kocc)
             occ_frac = renderer.occupancy.occupancy(occ_state)
-            if can_skip:
+            if policy.can_skip:
                 skip_grid = skip_fn(occ_state)
             estimator.mark_occupancy_changed()
+            policy.on_occupancy_update()
 
         bucket = estimator.bucket()
-        march = pick_march()
+        march = policy.pick(estimator.avg_samples_per_ray)
         step_fn = get_step(bucket, march)
 
         grid_args = (skip_grid,) if march == "skip" else ()
@@ -669,15 +742,15 @@ def train(
             pool_o, pool_d, pool_rgb, kstep,
         )
         pending.append((m["loss"], occ_frac, m["fill"], m["rays_used"]))
-        rays_total += bucket * cfg.batch_size
+        rays_candidate += bucket * cfg.batch_size
         estimator.observe(m["fill"], m["rays_used"])
-        if march == "skip" and estimator.just_refreshed:
-            if float(m["complete_frac"]) < 0.995:
-                skip_disabled = True
+        if march == "skip":
+            tripped = policy.observe(m["complete_frac"])
+            if tripped is not None:
                 print(
-                    f"step {step_i}: {1 - float(m['complete_frac']):.1%} of "
-                    f"rays exhausted the skip-march step budget "
-                    f"({renderer.skip_steps}); falling back to dense marching"
+                    f"step {step_i}: {1 - tripped:.1%} of rays exhausted the "
+                    f"skip-march step budget ({renderer.skip_steps}); dense "
+                    f"marching until the next occupancy update"
                 )
 
         if len(pending) >= 64 or step_i == steps - 1:
@@ -719,7 +792,11 @@ def train(
         jax.profiler.stop_trace()
     flush_pending()
     elapsed = time.perf_counter() - t_start
-    rays_per_sec_per_chip = rays_total / max(elapsed, 1e-9) / n_dev
+    # headline metric counts only rays that contributed to the loss (same
+    # definition as bench.py); candidate throughput (incl. overfill-dropped
+    # and incomplete rays) is reported separately
+    rays_per_sec_per_chip = counters["rays_used"] / max(elapsed, 1e-9) / n_dev
+    cand_rays_per_sec_per_chip = rays_candidate / max(elapsed, 1e-9) / n_dev
 
     # ---- final test render + artifacts
     test_metrics: Optional[List[EvalMetrics]] = None
@@ -748,6 +825,7 @@ def train(
         json.dump(
             {
                 "rays_per_sec_per_chip": rays_per_sec_per_chip,
+                "candidate_rays_per_sec_per_chip": cand_rays_per_sec_per_chip,
                 "elapsed_s": elapsed,
                 "steps": steps - start_step,
                 "n_devices": n_dev,

@@ -130,3 +130,24 @@ def make_synthetic_scene(
         with open(root / f"transforms_{split}.json", "w") as f:
             json.dump({"camera_angle_x": CAMERA_ANGLE_X, "frames": frames}, f)
     return root
+
+
+def make_shell_occupancy(renderer, res: int):
+    """Converged-like occupancy state: a thin spherical SHELL stays occupied
+    — what occupancy grids actually converge to on opaque objects (interiors
+    are culled once surfaces opacify; observed on trained generated scenes,
+    where steady state reaches the largest ray bucket).
+
+    Shared by bench.py and tools/profile_step.py so both measure the same
+    steady-state regime.
+    """
+    import jax.numpy as jnp
+
+    occ_state = renderer.occupancy.init_state()
+    ax = (np.arange(res) + 0.5) / res * 2.0 - 1.0
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    rad = np.sqrt(gx**2 + gy**2 + gz**2)
+    shell = (np.abs(rad - 0.35) < 0.04).astype(np.float32)
+    return occ_state._replace(
+        grid=jnp.asarray(shell), mean=jnp.float32(shell.mean())
+    )

@@ -20,16 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tinynerf_tpu.train import TrainConfig, build_renderer, make_optimizer
-
-
-def make_shell_occ(renderer, res):
-    """Converged-like occupancy: thin spherical shell (same as bench.py)."""
-    occ_state = renderer.occupancy.init_state()
-    ax = (np.arange(res) + 0.5) / res * 2.0 - 1.0
-    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
-    rad = np.sqrt(gx**2 + gy**2 + gz**2)
-    shell = (np.abs(rad - 0.35) < 0.04).astype(np.float32)
-    return occ_state._replace(grid=jnp.asarray(shell), mean=jnp.float32(shell.mean()))
+from tinynerf_tpu.utils import make_shell_occupancy
 
 
 @jax.jit
@@ -82,7 +73,7 @@ def main():
     key = jax.random.PRNGKey(0)
     params = renderer.init(key)
     opt_state = optimizer.init(params)
-    occ_state = make_shell_occ(renderer, cfg.occupancy_res)
+    occ_state = make_shell_occupancy(renderer, cfg.occupancy_res)
 
     rng = np.random.default_rng(0)
     d = rng.normal(size=(R, 3)).astype(np.float32)
