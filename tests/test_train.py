@@ -189,3 +189,17 @@ def test_train_actually_learns(pools, tmp_path):
     first = float(np.mean(losses[:5]))
     last = float(np.mean(losses[-10:]))
     assert last < 0.5 * first, f"no learning: first={first:.5f} last={last:.5f}"
+
+
+def test_eval_timeline_recorded(pools, tmp_path):
+    """With eval_every set, train() records a (step, wall-clock, psnr)
+    timeline — the data behind the time-to-X-PSNR metric."""
+    train_rays, test_set = pools
+    mesh = make_mesh(jax.devices()[:1])
+    cfg = tiny_cfg(tmp_path, steps=5, eval_every=2, eval_n=1)
+    out = train(cfg, train_rays, eval_set=test_set, test_set=None, mesh=mesh)
+    tl = out["eval_timeline"]
+    assert len(tl) == 2  # steps 2 and 4
+    assert all(e["elapsed_s"] > 0 and np.isfinite(e["psnr"]) for e in tl)
+    assert [e["step"] for e in tl] == [2, 4]
+    assert (cfg.output / "eval_timeline.json").exists()

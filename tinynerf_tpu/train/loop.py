@@ -686,6 +686,9 @@ def train(
     # ---- host loop
     train_metrics: List[TrainMetrics] = []
     eval_acc: List[EvalMetrics] = []
+    # (step, wall-clock s, mean psnr, mean ssim) per eval round — the
+    # timeline behind the time-to-X-PSNR metric (BASELINE.md)
+    eval_timeline: List[Dict[str, float]] = []
     pending: List[Tuple] = []  # (loss, occ, fill, rays) device scalars
     estimator = BucketEstimator(cfg)
     eval_ptr = 0
@@ -785,7 +788,17 @@ def train(
                 f"eval_{step_i}", chunk=cfg.batch_size,
                 render_chunk_fn=render_chunk_fn,
             )
-            eval_acc.extend(evaluate(eval_set, rendered, indices))
+            round_metrics = evaluate(eval_set, rendered, indices)
+            eval_acc.extend(round_metrics)
+            if round_metrics:
+                eval_timeline.append(
+                    {
+                        "step": step_i,
+                        "elapsed_s": time.perf_counter() - t_start,
+                        "psnr": float(np.mean([m.psnr for m in round_metrics])),
+                        "ssim": float(np.mean([m.ssim for m in round_metrics])),
+                    }
+                )
             eval_ptr += cfg.eval_n
 
     if profiling:
@@ -818,6 +831,9 @@ def train(
     if eval_acc:
         with open(output / "metrics_eval.json", "w") as f:
             json.dump([asdict(x) for x in eval_acc], f)
+    if eval_timeline:
+        with open(output / "eval_timeline.json", "w") as f:
+            json.dump(eval_timeline, f)
     if test_metrics:
         with open(output / "metrics_test.json", "w") as f:
             json.dump([asdict(x) for x in test_metrics], f)
@@ -839,6 +855,7 @@ def train(
         "renderer": renderer,
         "train_metrics": train_metrics,
         "eval_metrics": eval_acc,
+        "eval_timeline": eval_timeline,
         "test_metrics": test_metrics,
         "rays_per_sec_per_chip": rays_per_sec_per_chip,
     }

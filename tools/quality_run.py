@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--batch_size", type=int, default=1024)
     ap.add_argument("--n_samples", type=int, default=128)
     ap.add_argument("--lookup", default=None, choices=[None, "fused", "quad", "mixed", "plain"])
+    ap.add_argument("--fwd-mode", default=None, choices=[None, "perscale", "fusedfine"],
+                    help="kplanes fused-mode forward gather shape")
+    ap.add_argument("--bwd-mode", default=None, choices=[None, "auto", "scatter", "sorted"],
+                    help="kplanes fused-mode table-gradient accumulation")
+    ap.add_argument("--eval-every", type=int, default=None,
+                    help="eval cadence for the time-to-PSNR timeline")
+    ap.add_argument("--eval-n", type=int, default=2)
     ap.add_argument("--gather-dtype", default=None, choices=[None, "bfloat16", "float32", "float8"])
     ap.add_argument("--res", type=int, default=100)
     ap.add_argument("--n_train", type=int, default=12)
@@ -50,6 +57,9 @@ def main():
     ap.add_argument("--no-fwd-clamp", action="store_true",
                     help="unclamped truncated_exp forward (reference)")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--march", default="auto", choices=["auto", "dense", "skip"],
+                    help="marching strategy A/B (quality effect of skip-march "
+                         "ray truncation)")
     args = ap.parse_args()
 
     import numpy as np
@@ -81,6 +91,9 @@ def main():
         tv_reg_alpha=args.tv,
         seed=args.seed,
         compute_dtype=args.dtype,
+        eval_every=args.eval_every,
+        eval_n=args.eval_n if args.eval_every else None,
+        march=args.march,
     )
 
     if args.no_fwd_clamp:
@@ -89,7 +102,7 @@ def main():
         trunc_exp.FORWARD_CLAMP = False
 
     # optionally override field construction knobs via the registry
-    if args.lookup or args.gather_dtype or args.init_range:
+    if args.lookup or args.gather_dtype or args.init_range or args.fwd_mode or args.bwd_mode:
         from tinynerf_tpu.models import registry
 
         orig = registry.make_model
@@ -101,6 +114,10 @@ def main():
                 kw["lookup_mode"] = args.lookup
             if args.gather_dtype and hasattr(field, "gather_dtype"):
                 kw["gather_dtype"] = args.gather_dtype
+            if args.fwd_mode and hasattr(field, "fwd_mode"):
+                kw["fwd_mode"] = args.fwd_mode
+            if args.bwd_mode and hasattr(field, "bwd_mode"):
+                kw["bwd_mode"] = args.bwd_mode
             if args.init_range and hasattr(field, "init_range"):
                 lo, hi = (float(v) for v in args.init_range.split(","))
                 kw["init_range"] = (lo, hi)
@@ -114,7 +131,10 @@ def main():
     print(f"scene={scene} output={cfg.output}")
     train_rays = RayPool(parse_nerf_synthetic(scene, "train"))
     test_set = PoseSet(parse_nerf_synthetic(scene, "test"))
-    out = train(cfg, train_rays, test_set=test_set)
+    out = train(
+        cfg, train_rays, test_set=test_set,
+        eval_set=test_set if args.eval_every else None,
+    )
 
     psnrs = [m.psnr for m in out["test_metrics"]]
     ssims = [m.ssim for m in out["test_metrics"]]
@@ -141,6 +161,17 @@ def main():
         f"test PSNR {np.mean(psnrs):.2f} dB  SSIM {np.mean(ssims):.3f} "
         f"rays/s/chip {out['rays_per_sec_per_chip']:.0f}"
     )
+    timeline = out.get("eval_timeline") or []
+    for thr in (28.0, 30.0, 32.0):
+        hit = next((e for e in timeline if e["psnr"] >= thr), None)
+        if hit:
+            print(
+                f"TIME-TO-{thr:.0f}dB: {hit['elapsed_s']:.1f} s "
+                f"(step {hit['step']}, psnr {hit['psnr']:.2f})"
+            )
+    if timeline:
+        print("TIMELINE " + " ".join(
+            f"{e['step']}:{e['elapsed_s']:.0f}s:{e['psnr']:.2f}" for e in timeline))
 
 
 if __name__ == "__main__":

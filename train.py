@@ -40,6 +40,13 @@ def main() -> None:
     parser.add_argument("--profile_start", type=int, default=None,
                         help="capture a jax.profiler trace starting at this step")
     parser.add_argument("--profile_count", type=int, default=5)
+    parser.add_argument("--march", type=str, default="auto",
+                        choices=["auto", "dense", "skip"],
+                        help="marching strategy (auto = empty-space skipping "
+                             "once demand allows)")
+    parser.add_argument("--remat", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="rematerialize the field in the backward pass")
     args = parser.parse_args()
 
     seed = int(os.environ.get("SEED", 0))
@@ -84,6 +91,8 @@ def main() -> None:
         checkpoint_every=args.checkpoint_every,
         profile_start=args.profile_start,
         profile_count=args.profile_count,
+        march=args.march,
+        remat_field=None if args.remat == "auto" else (args.remat == "on"),
     )
     # --eval without an explicit cadence evaluates 8 times over the run
     if args.eval and cfg.eval_every is None:
