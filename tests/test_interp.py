@@ -182,3 +182,30 @@ def test_kplanes_fused_equals_per_scale():
     g_q = jax.grad(loss_quad)(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_q)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
+
+
+def test_scatter_add_rows_packed_matches_direct():
+    """The lane-packed large-table scatter (ops/interp.py scatter_add_rows)
+    must equal the direct row scatter, including the P>=2 packed path (forced
+    by shrinking the fast-row threshold), odd n_rows, and repeated indices."""
+    from tinynerf_tpu.ops import interp
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    n, w = 5000, 16
+    for n_rows in (997, 4099):  # odd row counts, many collisions
+        idx = jax.random.randint(k1, (n,), 0, n_rows)
+        contrib = jax.random.normal(k2, (n, w))
+        direct = jnp.zeros((n_rows, w)).at[idx].add(contrib)
+        # small-table path (no packing)
+        np.testing.assert_allclose(
+            np.asarray(interp.scatter_add_rows(n_rows, idx, contrib)),
+            np.asarray(direct), atol=1e-5,
+        )
+        # force the packed path: threshold below n_rows => P >= 2
+        orig = interp._SCATTER_FAST_ROWS
+        try:
+            interp._SCATTER_FAST_ROWS = 256
+            packed = interp.scatter_add_rows(n_rows, idx, contrib)
+        finally:
+            interp._SCATTER_FAST_ROWS = orig
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(direct), atol=1e-5)
