@@ -28,6 +28,8 @@ N_STEPS = 20
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -37,13 +39,20 @@ def main() -> None:
     from tinynerf_tpu.train.loop import MarchPolicy, make_train_step, pick_bucket
     from tinynerf_tpu.utils import make_shell_occupancy
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=2048,
+                    help="ray batch (the reference CLI default; its bs_ratio "
+                         "rule anchors hyperparameters at 4096)")
+    ap.add_argument("--method", default="kplanes")
+    args = ap.parse_args()
+
     mesh = make_mesh()
     n_dev = mesh.devices.size
 
     cfg = TrainConfig(
-        method="kplanes",
+        method=args.method,
         scene_type="aabb",
-        batch_size=2048,
+        batch_size=args.batch_size,
         n_samples=400,
         occupancy_res=128,
     )

@@ -285,16 +285,16 @@ def _bilinear_quad_bwd(gather_dtype, res, g):
     r0, r1, f = table.shape
     cell, w = _cell_2d(coords, r0, r1)
     contrib = (g[..., None, :] * w[..., :, None]).reshape(-1, 4 * f)
-    gq = (
-        jnp.zeros(((r0 - 1) * (r1 - 1), 4 * f), jnp.float32)
-        .at[cell.reshape(-1)]
-        .add(contrib)
-    ).reshape(r0 - 1, r1 - 1, 4, f)
+    gq = scatter_add_rows(
+        (r0 - 1) * (r1 - 1), cell.reshape(-1), contrib
+    ).reshape(r0 - 1, r1 - 1, 4 * f)
     grad = jnp.zeros((r0, r1, f), jnp.float32)
-    grad = grad.at[:-1, :-1].add(gq[:, :, 0])
-    grad = grad.at[:-1, 1:].add(gq[:, :, 1])
-    grad = grad.at[1:, :-1].add(gq[:, :, 2])
-    grad = grad.at[1:, 1:].add(gq[:, :, 3])
+    c = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            sl = gq[..., c * f:(c + 1) * f]
+            grad = grad + jnp.pad(sl, [(dx, 1 - dx), (dy, 1 - dy), (0, 0)])
+            c += 1
     return grad, jnp.zeros_like(coords)
 
 
@@ -560,13 +560,21 @@ def _pullback_scales(fine, tables):
 
 
 def _fine_from_quad(gq, r_fine, f_tot):
-    """[n_cells, 4*f_tot] corner-major quad gradient -> [r, r, f_tot]."""
-    gq = gq.reshape(r_fine - 1, r_fine - 1, 4, f_tot)
+    """[n_cells, 4*f_tot] corner-major quad gradient -> [r, r, f_tot].
+
+    Quad->grid corner reduction as pad+add over LANE slices of the
+    [.., 4F] layout — XLA fuses the pads into one add loop, where the
+    strided .at[slice].add form costs ~1.6x more (the 3-D analog measured
+    30 vs 19 ms, ops/interp.py _trilinear_oct_bwd)."""
+    r = r_fine - 1
+    gq4 = gq.reshape(r, r, 4 * f_tot)
     fine = jnp.zeros((r_fine, r_fine, f_tot), jnp.float32)
-    fine = fine.at[:-1, :-1].add(gq[:, :, 0])
-    fine = fine.at[:-1, 1:].add(gq[:, :, 1])
-    fine = fine.at[1:, :-1].add(gq[:, :, 2])
-    fine = fine.at[1:, 1:].add(gq[:, :, 3])
+    c = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            sl = gq4[..., c * f_tot:(c + 1) * f_tot]
+            fine = fine + jnp.pad(sl, [(dx, 1 - dx), (dy, 1 - dy), (0, 0)])
+            c += 1
     return fine
 
 
@@ -595,11 +603,7 @@ def _multiscale_bwd(gather_dtype, bwd_impl, fwd_impl, res, g):
     else:
         # corner-major rows [c0(f_tot), c1, c2, c3]
         contrib = (w[..., :, None] * g[..., None, :]).reshape(-1, 4 * f_tot)
-        gq = (
-            jnp.zeros((n_cells, 4 * f_tot), jnp.float32)
-            .at[cell.reshape(-1)]
-            .add(contrib)
-        )
+        gq = scatter_add_rows(n_cells, cell.reshape(-1), contrib)
     fine = _fine_from_quad(gq, r_fine, f_tot)
     return _pullback_scales(fine, tables), jnp.zeros_like(coords)
 
@@ -677,12 +681,12 @@ def _multiproj_bwd(gather_dtype, bwd_impl, fwd_impl, res, gs):
         # per-projection scatters, NOT stacked — a stack materializes an
         # extra 1.2 GB copy of the quad grads at the flagship budget
         gq_by_proj = [
-            jnp.zeros((n_cells, 4 * f_tot), jnp.float32)
-            .at[cells[p]]
-            .add(
+            scatter_add_rows(
+                n_cells,
+                cells[p],
                 (ws[p][:, :, None] * gs[p].reshape(n, 1, f_tot)).reshape(
                     n, 4 * f_tot
-                )
+                ),
             )
             for p in range(n_proj)
         ]
