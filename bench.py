@@ -44,6 +44,7 @@ def main() -> None:
                     help="ray batch (the reference CLI default; its bs_ratio "
                          "rule anchors hyperparameters at 4096)")
     ap.add_argument("--method", default="kplanes")
+    ap.add_argument("--scene_type", default="aabb", choices=["aabb", "unbounded"])
     args = ap.parse_args()
 
     mesh = make_mesh()
@@ -51,7 +52,7 @@ def main() -> None:
 
     cfg = TrainConfig(
         method=args.method,
-        scene_type="aabb",
+        scene_type=args.scene_type,
         batch_size=args.batch_size,
         n_samples=400,
         occupancy_res=128,

@@ -319,3 +319,47 @@ def test_supports_skip_march_requires_nearest_occupancy():
         r, occupancy=dataclasses.replace(r.occupancy, interp="trilinear")
     )
     assert not r_tri.supports_skip_march
+
+
+@pytest.mark.parametrize("blob_r,seed", [(3, 3), (6, 4)])
+def test_unbounded_skip_march_far_field_budget(blob_r, seed):
+    """A REDUCED scan budget must still complete on unbounded scenes: the
+    disparity tail reaches t ~ hundreds of world units, so fixed-size
+    advances bounded by the global 1/2-Lipschitz certificate exhaust any
+    budget < n_samples out there.  The local bound (Jacobian norm < 1/n past
+    radius n, closed-form minimum radius over the remaining ray) makes far-
+    field advances grow ~linearly with radius; with it a sub-S budget of 40
+    completes every ray and emits the exact dense sample set (the global
+    bound caps advances at ~0.9 world units/step here, needing ~73 > S
+    steps to reach the t~66 tail, so NO budget <= S completes).  Occupancy
+    is a central blob (the realistic converged state: scene content near
+    the origin, empty far field)."""
+    res, S, budget = 32, 64, 40
+    renderer = make_unbounded_renderer(res=res, n_samples=S, skip_steps=budget)
+    ax = np.arange(res, dtype=np.float32) - (res - 1) / 2
+    rr = np.sqrt(
+        ax[:, None, None] ** 2 + ax[None, :, None] ** 2 + ax[None, None, :] ** 2
+    )
+    g = jnp.asarray((rr <= blob_r).astype(np.float32))
+    occ = renderer.occupancy.init_state()._replace(
+        grid=g, mean=jnp.float32(g.mean())
+    )
+    o, d = random_rays(256, seed + 40)
+    sg = renderer.skip_grid(occ)
+    params = renderer.init(jax.random.PRNGKey(0))
+
+    for key in (None, jax.random.PRNGKey(17)):
+        cpos, deltas, maskb, complete = renderer._march_skip(o, d, sg, key)
+        assert bool(np.asarray(complete).all()), (
+            f"jitter={key is not None}: "
+            f"{int((~np.asarray(complete)).sum())}/256 rays exhausted the "
+            f"{budget}-step budget"
+        )
+        out_d = renderer.render_packed(params, occ, o, d, cap=16384, key=key)
+        out_s = renderer.render_packed(
+            params, occ, o, d, cap=16384, key=key, march="skip", skip_grid=sg
+        )
+        assert int(out_d.n_samples) == int(out_s.n_samples)
+        np.testing.assert_allclose(
+            np.asarray(out_d.rgb), np.asarray(out_s.rgb), atol=2e-5
+        )

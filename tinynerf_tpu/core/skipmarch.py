@@ -220,6 +220,13 @@ def skip_march_unbounded(
 
     rng = jnp.float32(marcher.uniform_range)
     near = jnp.float32(marcher.near)
+    # Per-ray closest approach to the origin, for the LOCAL Lipschitz bound
+    # below: along [t, inf) every point's radius is >= n_eff(t) =
+    # (n_perp before the closest approach, the current radius after it).
+    t_star = -jnp.sum(rays_o * rays_d, axis=-1)  # [R]
+    n_perp = jnp.linalg.norm(
+        rays_o + rays_d * t_star[:, None], axis=-1
+    )  # [R]
     # the certificate below converts a Chebyshev voxel radius to a contracted
     # distance; the binding axis is the FINEST one (smallest voxel), so any
     # per-axis resolution asymmetry must use max(r) (today cube() always
@@ -270,8 +277,27 @@ def skip_march_unbounded(
         # Divide by a conservative L instead:
         # safe while t_{k+m} <= t_k + (rho - w_c) / L  (the -w_c absorbs the
         # one-voxel rounding of both endpoints)
+        #
+        # L is a bound on the Euclid-in/Cheb-out Lipschitz constant over the
+        # REMAINING ray [t, inf), not the global worst case: for radii
+        # n >= 1 the contraction is phi(n)*x_hat with phi = 1 - 1/(2n),
+        # whose Jacobian opnorm max(1/(2n^2), (1-1/(2n))/n) < 1/n; every
+        # point past t has radius >= n_eff (= n_perp before the closest
+        # approach, the current radius after), so L <= 1/n_eff whenever
+        # n_eff >= 2 (which also keeps the interval clear of the ~0.506
+        # kink region near n ~ 1.25).  The global constant only binds near
+        # the scene core; in the contracted far field the advance grows
+        # ~linearly with the radius (geometric traversal of the disparity
+        # tail) — without this, rays spent their whole scan budget walking
+        # the far field at ~(rho/L_global) world units per step and the
+        # trainer's completeness guard forced dense marching.
         rho = (g.astype(jnp.float32) - 1.0) * w_c
-        t_safe = t_lo + jnp.maximum((rho - w_c) * jnp.float32(1.0 / _LIPSCHITZ), 0.0)
+        n_k = jnp.linalg.norm(pos, axis=-1)
+        n_eff = jnp.maximum(1.0, jnp.where(t < t_star, n_perp, n_k))
+        l_inv = jnp.where(
+            n_eff >= 2.0, n_eff, jnp.float32(1.0 / _LIPSCHITZ)
+        )
+        t_safe = t_lo + jnp.maximum((rho - w_c) * l_inv, 0.0)
         k_safe = jnp.floor(
             jnp.minimum(x_of_t(t_safe), x_last) / step_x
         ).astype(jnp.int32)

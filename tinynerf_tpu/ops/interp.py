@@ -37,10 +37,11 @@ def _to_index_space(c, res):
 # jumps ~10x (measured 165 ms vs 15 ms for 819200x256B updates — the cliff
 # sits between 458752 and 524288 output rows).  Scene-scale 3-D tables
 # (e.g. a 127^3-cell oct layout = 2.05M rows) live deep in the slow regime.
-# 512096 rows measured fast and 524288 (= 2^19) slow, so the usable bound is
-# just under 2^19; staying 4096 rows clear of it picks P=4 (27 ms) instead
-# of P=5 (35 ms) for the 127^3 case.
-_SCATTER_FAST_ROWS = 520192
+# 512096 rows is the largest count MEASURED fast (524288 = 2^19 is slow);
+# both the packing trigger and the packed row target use it, so a packed
+# layout never lands in the unmeasured gap just below 2^19.  The 127^3 case
+# packs to exactly [512096, 256] (P=4, 27 ms vs 165 direct, 35 at P=5).
+_SCATTER_FAST_ROWS = 512096
 
 
 def scatter_add_rows(n_rows: int, idx, contrib, out_dtype=jnp.float32):
