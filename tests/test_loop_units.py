@@ -211,3 +211,13 @@ def test_decay_mask_derived_from_field_declarations():
     bad = {"field": {"planes": [], "surprise": jnp.ones(3)}, "sigma": {}}
     with pytest.raises(ValueError, match="surprise"):
         _decay_mask(bad, table_keys=field.table_keys, mlp_keys=field.mlp_keys)
+
+
+def test_pick_bucket_max_bucket_cap():
+    # the sparse-view overfit knob clamps the ladder (BASELINE.md round-3
+    # correction: an uncapped converged ladder = 24x effective batch on a
+    # 12-view scene); None leaves it unlimited
+    assert pick_bucket(cfg(max_bucket=4), avg_samples_per_ray=25.0) == 4
+    assert pick_bucket(cfg(max_bucket=None), avg_samples_per_ray=25.0) == 16
+    # cap above the picked bucket is a no-op
+    assert pick_bucket(cfg(max_bucket=64), avg_samples_per_ray=25.0) == 16

@@ -82,6 +82,15 @@ class TrainConfig:
     # one compiled program (static shapes). Large multipliers engage late in
     # training when occupancy has converged to thin shells (few samples/ray).
     ray_buckets: Tuple[int, ...] = (1, 2, 3, 4, 6, 8, 12, 16, 20, 24, 32, 48, 64)
+    # optional ceiling on the bucket ladder (None = unlimited).  The
+    # constant-sample batching faithfully implements the reference's
+    # semantics (src/run.py:205-244), but on TINY datasets the converged
+    # ladder can reach effective batches larger than the training set —
+    # a 24x effective-batch jump cost ~3 dB of test PSNR on a 12-view proxy
+    # scene (overfit; BASELINE.md round-3 correction).  Cap rays/step at
+    # max_bucket * batch_size for such datasets; full-size scenes should
+    # leave this None (the ladder is where the throughput lives).
+    max_bucket: Optional[int] = None
     # candidate demand may exceed the cap by this factor: rays that spill past
     # the cap are excluded from the loss (renderer.render_packed ray_valid),
     # so slight overfill trades a few dropped tail rays for full buffer

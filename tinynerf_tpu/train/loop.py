@@ -488,6 +488,8 @@ def pick_bucket(cfg: TrainConfig, avg_samples_per_ray: float) -> int:
     for b in sorted(cfg.ray_buckets):
         if b <= want:
             bucket = b
+    if cfg.max_bucket is not None:
+        bucket = min(bucket, cfg.max_bucket)
     return bucket
 
 

@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--no-fwd-clamp", action="store_true",
                     help="unclamped truncated_exp forward (reference)")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--max-bucket", type=int, default=None,
+                    help="cap the bucket ladder (sparse-view overfit knob)")
     ap.add_argument("--march", default="auto", choices=["auto", "dense", "skip"],
                     help="marching strategy A/B (quality effect of skip-march "
                          "ray truncation)")
@@ -94,6 +96,7 @@ def main():
         eval_every=args.eval_every,
         eval_n=args.eval_n if args.eval_every else None,
         march=args.march,
+        max_bucket=args.max_bucket,
     )
 
     if args.no_fwd_clamp:

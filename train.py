@@ -44,6 +44,10 @@ def main() -> None:
                         choices=["auto", "dense", "skip"],
                         help="marching strategy (auto = empty-space skipping "
                              "once demand allows)")
+    parser.add_argument("--max_bucket", type=int, default=None,
+                        help="cap the candidate-ray bucket ladder (rays/step "
+                             "<= max_bucket * batch_size); for tiny datasets "
+                             "where the converged ladder overfits")
     parser.add_argument("--remat", type=str, default="auto",
                         choices=["auto", "on", "off"],
                         help="rematerialize the field in the backward pass")
@@ -92,6 +96,7 @@ def main() -> None:
         profile_start=args.profile_start,
         profile_count=args.profile_count,
         march=args.march,
+        max_bucket=args.max_bucket,
         remat_field=None if args.remat == "auto" else (args.remat == "on"),
     )
     # --eval without an explicit cadence evaluates 8 times over the run
