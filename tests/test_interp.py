@@ -209,3 +209,31 @@ def test_scatter_add_rows_packed_matches_direct():
         finally:
             interp._SCATTER_FAST_ROWS = orig
         np.testing.assert_allclose(np.asarray(packed), np.asarray(direct), atol=1e-5)
+
+
+def test_interleave_builds_bitexact_vs_stack():
+    # the dilated-pad cell-packed builds (ops/interp.py _interleave_shifts)
+    # are pure relayouts: bit-identical to the naive stack+reshape form
+    from tinynerf_tpu.ops.interp import _build_oct, _build_quad
+
+    t2 = jax.random.normal(KEY, (9, 7, 5))
+    q_stack = jnp.stack(
+        [t2[:-1, :-1], t2[:-1, 1:], t2[1:, :-1], t2[1:, 1:]], axis=2
+    ).reshape(8 * 6, 4 * 5)
+    assert jnp.array_equal(_build_quad(t2, jnp.float32), q_stack)
+
+    t3 = jax.random.normal(KEY, (6, 5, 4, 3))
+    o_stack = jnp.stack(
+        [t3[:-1, :-1, :-1], t3[:-1, :-1, 1:], t3[:-1, 1:, :-1],
+         t3[:-1, 1:, 1:], t3[1:, :-1, :-1], t3[1:, :-1, 1:],
+         t3[1:, 1:, :-1], t3[1:, 1:, 1:]], axis=3
+    ).reshape(5 * 4 * 3, 8 * 3)
+    assert jnp.array_equal(_build_oct(t3, jnp.float32), o_stack)
+
+    # bf16 path rounds then relayouts — still exact vs the bf16 stack
+    o16 = jnp.stack(
+        [t3[:-1, :-1, :-1], t3[:-1, :-1, 1:], t3[:-1, 1:, :-1],
+         t3[:-1, 1:, 1:], t3[1:, :-1, :-1], t3[1:, :-1, 1:],
+         t3[1:, 1:, :-1], t3[1:, 1:, 1:]], axis=3
+    ).astype(jnp.bfloat16).reshape(5 * 4 * 3, 8 * 3)
+    assert jnp.array_equal(_build_oct(t3, jnp.bfloat16), o16)

@@ -256,13 +256,47 @@ def _cell_2d(coords, r0, r1):
     return cell, w
 
 
+def _interleave_shifts(t, shifts, axes):
+    """Cell-pack shifted corner slices of `t` along a new minor-side axis.
+
+    For each corner offset in `shifts` (tuples over `axes`, 0/1 each), takes
+    the [dim-1]-sized slice of `t` along those axes and interleaves the
+    results: output[..., i, c, :] = corner_c[..., i, :].  Built as a sum of
+    lax.pad's with INTERIOR padding (dilation by len(shifts) along a fresh
+    axis) — the padded supports are disjoint, so the adds are exact and XLA
+    fuses the 8 (or 4) pads into one loop instead of materializing the
+    stack+reshape relayout (the naive form runs at ~12 GB/s on TPU for a
+    128^3 grid; see BASELINE.md round-3).
+
+    t: [..., d_a0, d_a1(, d_a2), F] -> [..., (d-1 per axis), n_shifts, F]
+    flattened over the sliced axes is left to the caller."""
+    n = len(shifts)
+    out = None
+    for c, off in enumerate(shifts):
+        sl = t
+        for ax, d in zip(axes, off):
+            size = t.shape[ax] - 1
+            sl = jax.lax.slice_in_dim(sl, d, d + size, axis=ax)
+        # dilate the LAST sliced axis by n with offset c, then the final
+        # reshape splitting (dim*n) -> (dim, n) is layout-free
+        ax = axes[-1]
+        cfg = [(0, 0, 0)] * sl.ndim
+        cfg[ax] = (c, n - 1 - c, n - 1)
+        padded = jax.lax.pad(sl, jnp.zeros((), sl.dtype), cfg)
+        out = padded if out is None else out + padded
+    shape = list(out.shape)
+    shape[axes[-1]] //= n
+    shape.insert(axes[-1] + 1, n)
+    return out.reshape(shape)
+
+
 def _build_quad(table, gather_dtype):
     """[r0, r1, F] -> [(r0-1)*(r1-1), 4F]; corner order (00, 01, 10, 11)."""
     t = table.astype(gather_dtype)
-    q = jnp.stack(
-        [t[:-1, :-1], t[:-1, 1:], t[1:, :-1], t[1:, 1:]], axis=2
-    )  # [r0-1, r1-1, 4, F]
     r0, r1, f = table.shape
+    q = _interleave_shifts(
+        t, [(0, 0), (0, 1), (1, 0), (1, 1)], (0, 1)
+    )  # [r0-1, r1-1, 4, F]
     return q.reshape((r0 - 1) * (r1 - 1), 4 * f)
 
 
@@ -328,14 +362,15 @@ def _build_oct(table, gather_dtype):
     """[r0, r1, r2, F] -> [(r0-1)(r1-1)(r2-1), 8F]; corner order matches
     _corners_3d (z fastest, then y, then x)."""
     t = table.astype(gather_dtype)
-    q = jnp.stack(
-        [
-            t[:-1, :-1, :-1], t[:-1, :-1, 1:], t[:-1, 1:, :-1], t[:-1, 1:, 1:],
-            t[1:, :-1, :-1], t[1:, :-1, 1:], t[1:, 1:, :-1], t[1:, 1:, 1:],
-        ],
-        axis=3,
-    )  # [r0-1, r1-1, r2-1, 8, F]
     r0, r1, r2, f = table.shape
+    q = _interleave_shifts(
+        t,
+        [
+            (0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+            (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1),
+        ],
+        (0, 1, 2),
+    )  # [r0-1, r1-1, r2-1, 8, F]
     return q.reshape((r0 - 1) * (r1 - 1) * (r2 - 1), 8 * f)
 
 

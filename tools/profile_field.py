@@ -169,9 +169,22 @@ def profile_cobafa(cap: int, n: int):
         for i, g in enumerate(params["basis"])
     ]
 
+    def build_oct_stack(table, gather_dtype):
+        # the pre-round-3 stack+reshape formulation, kept for A/B
+        t = table.astype(gather_dtype)
+        q = jnp.stack(
+            [t[:-1, :-1, :-1], t[:-1, :-1, 1:], t[:-1, 1:, :-1],
+             t[:-1, 1:, 1:], t[1:, :-1, :-1], t[1:, :-1, 1:],
+             t[1:, 1:, :-1], t[1:, 1:, 1:]], axis=3)
+        r0, r1, r2, f = table.shape
+        return q.reshape((r0 - 1) * (r1 - 1) * (r2 - 1), 8 * f)
+
     for name, grid in grids:
         timeit(f"oct build: {name}",
                jax.jit(partial(I._build_oct, gather_dtype=gd)), grid, n=n)
+    timeit("oct build (stack A/B): basis5",
+           jax.jit(partial(build_oct_stack, gather_dtype=gd)),
+           params["basis"][-1], n=n)
 
     @jax.jit
     def all_builds(params):
