@@ -151,6 +151,22 @@ def test_checkpoint_resume(pools, tmp_path):
     assert len(out["train_metrics"]) == 2  # steps 2..4
 
 
+def test_render_only(pools, tmp_path):
+    """render_only() renders the test split from the latest checkpoint and
+    writes per-image metrics (the CLI --render_only surface)."""
+    from tinynerf_tpu.train.loop import render_only
+
+    train_rays, test_set = pools
+    mesh = make_mesh(jax.devices()[:1])
+    cfg = tiny_cfg(tmp_path, method="vanilla", steps=2, checkpoint_every=2)
+    train(cfg, train_rays, mesh=mesh)
+    metrics = render_only(cfg, test_set, mesh=mesh)
+    assert metrics is not None and len(metrics) == len(test_set)
+    assert all(np.isfinite(m.psnr) for m in metrics)
+    assert (cfg.output / "metrics_render.json").exists()
+    assert (cfg.output / "render_0000.png").exists()
+
+
 def test_unbounded_training(pools, tmp_path):
     train_rays, _ = pools
     mesh = make_mesh(jax.devices()[:1])

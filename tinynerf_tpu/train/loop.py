@@ -470,6 +470,54 @@ def evaluate(
     ]
 
 
+def render_only(
+    cfg: TrainConfig,
+    pose_set: PoseSet,
+    mesh: Optional[Mesh] = None,
+    name: str = "render",
+) -> Optional[List[EvalMetrics]]:
+    """Render `pose_set` from the latest checkpoint in cfg.output — the
+    inference-only entry point (CLI `--render_only`).  Writes
+    `{name}_{i:04d}.png` per pose and, when ground truth is present,
+    `metrics_render.json`.  Returns the per-image metrics (None without
+    ground truth)."""
+    if mesh is None:
+        mesh = make_mesh()
+    output = Path(cfg.output)
+    ck = latest_checkpoint(output)
+    if ck is None:
+        raise FileNotFoundError(f"no checkpoint found under {output}")
+    step, state = load_checkpoint(ck)
+    print(f"Rendering from {ck} (step {step})")
+
+    renderer = build_renderer(
+        cfg,
+        scene_scale=pose_set.scene_scale,
+        bg_color=(
+            np.asarray(pose_set.bg_color)
+            if pose_set.bg_color is not None
+            else None
+        ),
+    )
+    render_chunk_fn = make_render_chunk(
+        renderer, mesh if cfg.batch_size % mesh.devices.size == 0 else None
+    )
+    indices = list(range(len(pose_set)))
+    rendered = infer(
+        renderer, state["params"], state["occ_state"], pose_set, indices,
+        output, name, chunk=cfg.batch_size, render_chunk_fn=render_chunk_fn,
+    )
+    if pose_set.rgbs is None:
+        return None
+    metrics = evaluate(pose_set, rendered, indices)
+    with open(output / "metrics_render.json", "w") as f:
+        json.dump([asdict(x) for x in metrics], f)
+    psnrs = [m.psnr for m in metrics]
+    print(f"rendered {len(metrics)} poses: psnr {np.mean(psnrs):.2f} "
+          f"(min {np.min(psnrs):.2f}, max {np.max(psnrs):.2f})")
+    return metrics
+
+
 def pick_bucket(cfg: TrainConfig, avg_samples_per_ray: float) -> int:
     """Largest candidate-ray bucket whose expected sample demand fits the cap.
 

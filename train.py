@@ -36,6 +36,10 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=None, help="override step count")
     parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--resume", action="store_true", help="resume from latest checkpoint in --output")
+    parser.add_argument("--render_only", action="store_true",
+                        help="no training: render the test split from the "
+                             "latest checkpoint in --output (an experiment "
+                             "dir) and report metrics")
     parser.add_argument("--checkpoint_every", type=int, default=0)
     parser.add_argument("--profile_start", type=int, default=None,
                         help="capture a jax.profiler trace starting at this step")
@@ -68,8 +72,8 @@ def main() -> None:
         raise NotImplementedError(args.datatype)
 
     output = Path(args.output)
-    if args.resume:
-        experiment_dir = output  # resume in place
+    if args.resume or args.render_only:
+        experiment_dir = output  # operate on an existing experiment dir
     else:
         while True:
             exp_id = str(uuid.uuid4())[:8]
@@ -99,6 +103,12 @@ def main() -> None:
         max_bucket=args.max_bucket,
         remat_field=None if args.remat == "auto" else (args.remat == "on"),
     )
+    if args.render_only:
+        from tinynerf_tpu.train.loop import render_only
+
+        render_only(cfg, test_set)
+        return
+
     # --eval without an explicit cadence evaluates 8 times over the run
     if args.eval and cfg.eval_every is None:
         cfg.eval_every = max(1, cfg.total_steps // 8)
