@@ -167,6 +167,66 @@ def test_render_only(pools, tmp_path):
     assert (cfg.output / "render_0000.png").exists()
 
 
+def test_infer_packed_matches_dense(pools, tmp_path):
+    """The packed serving path (and its overflow fallback, and the
+    skip-marched variant) must produce the same images as the dense
+    reference eval — packed eval is an optimization, not an approximation."""
+    from tinynerf_tpu.train import build_renderer
+    from tinynerf_tpu.train.loop import (
+        infer,
+        make_render_chunk,
+        make_render_chunk_packed,
+    )
+
+    train_rays, test_set = pools
+    mesh = make_mesh(jax.devices()[:1])
+    cfg = tiny_cfg(tmp_path, method="vanilla", steps=2)
+    train(cfg, train_rays, mesh=mesh)
+    _, state = load_checkpoint(latest_checkpoint(cfg.output))
+    params, occ_state = state["params"], state["occ_state"]
+
+    renderer = build_renderer(
+        cfg, scene_scale=test_set.scene_scale,
+        bg_color=np.asarray(test_set.bg_color)
+        if test_set.bg_color is not None else None,
+    )
+    dense_fn = make_render_chunk(renderer)
+
+    def run(sub, **kw):
+        return infer(
+            renderer, params, occ_state, test_set, [0], tmp_path / sub, sub,
+            chunk=cfg.batch_size, render_chunk_fn=dense_fn, **kw,
+        )[0]
+
+    ref = run("dense")
+
+    cap = cfg.batch_size * cfg.n_samples  # ample: nothing overflows
+    packed = make_render_chunk_packed(renderer, cap, march="dense")
+    np.testing.assert_allclose(run("packed", packed_fn=packed), ref,
+                               atol=1e-5, rtol=0)
+
+    # a starved cap forces the dense fallback for (almost) every ray
+    tiny = make_render_chunk_packed(renderer, 8, march="dense")
+    np.testing.assert_allclose(run("fallback", packed_fn=tiny), ref,
+                               atol=1e-5, rtol=0)
+
+    assert renderer.supports_skip_march
+    grid = jax.jit(renderer.skip_grid)(occ_state)
+    skip = make_render_chunk_packed(renderer, cap, march="skip")
+    np.testing.assert_allclose(
+        run("skip", packed_fn=skip, grid_args=(grid,)), ref,
+        atol=1e-5, rtol=0,
+    )
+
+    # sharded packed chunk: same images as single-device (per-shard caps
+    # change which rays overflow, never what valid rays render)
+    mesh8 = make_mesh(jax.devices())
+    sharded = make_render_chunk_packed(renderer, cap, mesh=mesh8,
+                                       march="dense")
+    np.testing.assert_allclose(run("sharded", packed_fn=sharded), ref,
+                               atol=1e-5, rtol=0)
+
+
 def test_unbounded_training(pools, tmp_path):
     train_rays, _ = pools
     mesh = make_mesh(jax.devices()[:1])

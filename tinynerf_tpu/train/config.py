@@ -115,6 +115,18 @@ class TrainConfig:
     # into <output>/trace (None disables).  View with TensorBoard.
     profile_start: Optional[int] = None
     profile_count: int = 5
+    # eval/serving render path: "packed" routes full-image rendering through
+    # the training path's fixed-capacity compaction (+ empty-space-skip
+    # marching when the scene supports it) — the field MLPs run on the
+    # surviving samples only (~5% of the dense count at converged occupancy)
+    # instead of chunk * n_samples brute-force positions (the reference's
+    # eval, src/run.py:15-50).  Rays that overflow the eval cap or exhaust
+    # the skip budget are re-rendered by the dense path, so "packed" is an
+    # optimization, never an approximation.  "dense" forces brute force.
+    eval_render: str = "packed"  # packed | dense
+    # per-ray sample capacity of the packed eval buffer (cap = chunk * this);
+    # overflowing rays fall back to the dense path per chunk
+    eval_samples_per_ray: int = 64
 
     @property
     def effective_lr(self) -> float:

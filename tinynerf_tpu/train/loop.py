@@ -414,6 +414,50 @@ def make_render_chunk(renderer: NerfRenderer, mesh: Optional[Mesh] = None):
     )
 
 
+def make_render_chunk_packed(
+    renderer: NerfRenderer,
+    cap: int,
+    mesh: Optional[Mesh] = None,
+    march: str = "dense",
+):
+    """Jitted fixed-capacity packed render of one ray chunk — the serving
+    path.  Reuses the training compaction (core/renderer.py:render_packed)
+    at inference: the field MLPs run on exactly `cap` surviving samples
+    instead of chunk*n_samples dense positions (~5% at converged occupancy),
+    with empty-space-skip marching when `march="skip"` (pass the skip grid
+    as the trailing argument).
+
+    Returns fn(params, occ_state, rays_o, rays_d, *grid) -> (rgb [R, 3],
+    ok [R] bool).  ok=False rays overflowed the cap or exhausted the skip
+    scan budget — infer() re-renders exactly those through the dense path,
+    so packed eval is an optimization, never an approximation.
+    """
+    use_grid = march == "skip"
+
+    def render(local_cap, params, occ_state, rays_o, rays_d, *grid):
+        out = renderer.render_packed(
+            params, occ_state, rays_o, rays_d, local_cap,
+            march=march, skip_grid=grid[0] if use_grid else None,
+        )
+        return out.rgb, out.ray_valid > 0.0
+
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(partial(render, cap))
+
+    n_dev = mesh.devices.size
+    assert cap % n_dev == 0, "eval cap must divide the mesh"
+    grid_specs = (P(),) if use_grid else ()
+    return jax.jit(
+        shard_map(
+            partial(render, cap // n_dev),
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)) + grid_specs,
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )
+    )
+
+
 def infer(
     renderer: NerfRenderer,
     params,
@@ -424,6 +468,8 @@ def infer(
     name: str,
     chunk: int = 8192,
     render_chunk_fn=None,
+    packed_fn=None,
+    grid_args: Tuple = (),
 ) -> List[np.ndarray]:
     """Render full images pose-by-pose in fixed-size ray chunks, save PNGs
     `{name}_{i:04d}.png` (reference infer(), src/run.py:15-50)."""
@@ -447,13 +493,34 @@ def infer(
             )
         outs = []
         for k in range(0, rays_o.shape[0], chunk):
-            rgb = render_chunk_fn(
-                params,
-                occ_state,
-                jnp.asarray(rays_o[k : k + chunk]),
-                jnp.asarray(rays_d[k : k + chunk]),
-            )
-            outs.append(np.asarray(rgb))
+            o_c = jnp.asarray(rays_o[k : k + chunk])
+            d_c = jnp.asarray(rays_d[k : k + chunk])
+            if packed_fn is not None:
+                rgb_d, ok_d = packed_fn(params, occ_state, o_c, d_c, *grid_args)
+                rgb = np.asarray(rgb_d)
+                ok = np.asarray(ok_d)
+                if not ok.all():
+                    # exact fallback: re-render overflow/incomplete rays
+                    # through the dense path, padded to the same static
+                    # chunk shape (at most one extra compile per shape)
+                    bad = np.nonzero(~ok)[0]
+                    rgb = rgb.copy()  # np.asarray of a device array is read-only
+                    o_b = np.zeros((chunk, 3), np.float32)
+                    d_b = np.tile(
+                        np.array([[0, 0, 1]], np.float32), (chunk, 1)
+                    )
+                    o_b[: bad.size] = np.asarray(o_c)[bad]
+                    d_b[: bad.size] = np.asarray(d_c)[bad]
+                    dense = np.asarray(
+                        render_chunk_fn(
+                            params, occ_state,
+                            jnp.asarray(o_b), jnp.asarray(d_b),
+                        )
+                    )
+                    rgb[bad] = dense[: bad.size]
+            else:
+                rgb = np.asarray(render_chunk_fn(params, occ_state, o_c, d_c))
+            outs.append(rgb)
         img = np.concatenate(outs)[:n].reshape(K.h, K.w, 3)
         rendered.append(img)
         save_png(img, folder / f"{name}_{i:04d}.png")
@@ -499,13 +566,29 @@ def render_only(
             else None
         ),
     )
+    n_dev = mesh.devices.size
     render_chunk_fn = make_render_chunk(
-        renderer, mesh if cfg.batch_size % mesh.devices.size == 0 else None
+        renderer, mesh if cfg.batch_size % n_dev == 0 else None
     )
+    packed_fn = None
+    grid_args: Tuple = ()
+    if cfg.eval_render == "packed":
+        can_skip = renderer.supports_skip_march
+        eval_cap = cfg.batch_size * cfg.eval_samples_per_ray
+        packed_fn = make_render_chunk_packed(
+            renderer, eval_cap,
+            mesh
+            if (cfg.batch_size % n_dev == 0 and eval_cap % n_dev == 0)
+            else None,
+            march="skip" if can_skip else "dense",
+        )
+        if can_skip:
+            grid_args = (jax.jit(renderer.skip_grid)(state["occ_state"]),)
     indices = list(range(len(pose_set)))
     rendered = infer(
         renderer, state["params"], state["occ_state"], pose_set, indices,
         output, name, chunk=cfg.batch_size, render_chunk_fn=render_chunk_fn,
+        packed_fn=packed_fn, grid_args=grid_args,
     )
     if pose_set.rgbs is None:
         return None
@@ -732,6 +815,23 @@ def train(
     render_chunk_fn = make_render_chunk(
         renderer, mesh if cfg.batch_size % n_dev == 0 else None
     )
+    packed_chunk_fn = None
+    if cfg.eval_render == "packed":
+        eval_march = "skip" if policy.can_skip else "dense"
+        eval_cap = cfg.batch_size * cfg.eval_samples_per_ray
+        packed_chunk_fn = make_render_chunk_packed(
+            renderer, eval_cap,
+            mesh
+            if (cfg.batch_size % n_dev == 0 and eval_cap % n_dev == 0)
+            else None,
+            march=eval_march,
+        )
+
+    def eval_grid_args():
+        # the skip grid current at eval time (refreshed at occupancy updates)
+        if packed_chunk_fn is not None and policy.can_skip:
+            return (skip_grid,)
+        return ()
 
     # ---- host loop
     train_metrics: List[TrainMetrics] = []
@@ -837,6 +937,7 @@ def train(
                 renderer, params, occ_state, eval_set, indices, output,
                 f"eval_{step_i}", chunk=cfg.batch_size,
                 render_chunk_fn=render_chunk_fn,
+                packed_fn=packed_chunk_fn, grid_args=eval_grid_args(),
             )
             round_metrics = evaluate(eval_set, rendered, indices)
             eval_acc.extend(round_metrics)
@@ -868,6 +969,7 @@ def train(
         rendered = infer(
             renderer, params, occ_state, test_set, indices, output, "test_full",
             chunk=cfg.batch_size, render_chunk_fn=render_chunk_fn,
+            packed_fn=packed_chunk_fn, grid_args=eval_grid_args(),
         )
         if test_set.rgbs is not None:
             test_metrics = evaluate(test_set, rendered, indices)

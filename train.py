@@ -52,6 +52,12 @@ def main() -> None:
                         help="cap the candidate-ray bucket ladder (rays/step "
                              "<= max_bucket * batch_size); for tiny datasets "
                              "where the converged ladder overfits")
+    parser.add_argument("--eval_render", type=str, default="packed",
+                        choices=["packed", "dense"],
+                        help="full-image render path: packed = training-style "
+                             "sample compaction (+ skip marching) with exact "
+                             "dense fallback for overflow rays; dense = "
+                             "brute force")
     parser.add_argument("--remat", type=str, default="auto",
                         choices=["auto", "on", "off"],
                         help="rematerialize the field in the backward pass")
@@ -100,6 +106,7 @@ def main() -> None:
         profile_start=args.profile_start,
         profile_count=args.profile_count,
         march=args.march,
+        eval_render=args.eval_render,
         max_bucket=args.max_bucket,
         remat_field=None if args.remat == "auto" else (args.remat == "on"),
     )
