@@ -34,9 +34,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=8192)
     args = ap.parse_args()
 
+    import jax
+
     from tinynerf_tpu.data import Intrinsics, NerfData, PoseSet
     from tinynerf_tpu.train import TrainConfig, build_renderer, load_checkpoint
-    from tinynerf_tpu.train.loop import infer
+    from tinynerf_tpu.train.loop import infer, make_render_chunk_packed
     from tinynerf_tpu.utils.fixtures import CAMERA_ANGLE_X, look_at_matrix
 
     step, state = load_checkpoint(Path(args.ckpt))
@@ -59,11 +61,23 @@ def main():
     data = NerfData(cameras=np.stack(cams), intrinsics=K)
     poses = PoseSet(data)
 
+    # packed serving path (+ skip marching when supported); overflow rays
+    # fall back to the dense path inside infer()
+    can_skip = renderer.supports_skip_march
+    packed_fn = make_render_chunk_packed(
+        renderer, args.chunk * cfg.eval_samples_per_ray,
+        march="skip" if can_skip else "dense",
+    )
+    grid_args = (
+        (jax.jit(renderer.skip_grid)(state["occ_state"]),) if can_skip else ()
+    )
+
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     infer(
         renderer, state["params"], state["occ_state"], poses,
         list(range(args.n_frames)), out, "frame", chunk=args.chunk,
+        packed_fn=packed_fn, grid_args=grid_args,
     )
     print(f"{args.n_frames} frames written to {out} (checkpoint step {step})")
 
