@@ -72,9 +72,13 @@ def test_train_multichip_mesh(pools, tmp_path):
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(jax.devices()[:8])
     cfg = tiny_cfg(tmp_path, method="vanilla", steps=2)
-    out = train(cfg, train_rays, eval_set=None, test_set=None, mesh=mesh)
+    # test_set included: the final render exercises the packed eval path
+    # (and its wiring) under the mesh
+    out = train(cfg, train_rays, eval_set=None, test_set=test_set, mesh=mesh)
     assert len(out["train_metrics"]) == 2
     assert all(np.isfinite(m.loss) for m in out["train_metrics"])
+    assert out["test_metrics"] is not None
+    assert all(np.isfinite(em.psnr) for em in out["test_metrics"])
 
 
 def test_sharded_matches_single_device_grads(pools, tmp_path):
