@@ -321,6 +321,117 @@ def test_supports_skip_march_requires_nearest_occupancy():
     assert not r_tri.supports_skip_march
 
 
+def test_unbounded_local_lipschitz_certificate_sound():
+    """Property test of the LOCAL Lipschitz advance formula
+    (skip_march_unbounded): for adversarial probe geometry (tangential rays
+    at near-diagonal points, where the order-inf contraction's directional
+    constant reaches ~sqrt(6)/n_2, NOT 1/n_2), the true contracted Chebyshev
+    displacement over the certified advance must stay within the certified
+    radius rho.  The pre-fix 1/n_eff formula violates this by up to 2.33x
+    (measured); the F(m0) bound must not."""
+    LIP = 0.5065
+
+    def contract(x):
+        n = np.max(np.abs(x), axis=-1, keepdims=True)
+        safe = np.maximum(n, 1e-12)
+        c = np.where(n <= 1.0, x, (2.0 - 1.0 / safe) * x / safe)
+        return c / 2.0
+
+    def l_inv_fixed(n_eff):
+        # mirrors skip_march_unbounded's advance formula
+        m0 = max(n_eff / np.sqrt(3.0), 1.3)
+        f_m0 = np.sqrt((1 - 0.5 / m0) ** 2 + (1 - 1.0 / m0) ** 2) / m0
+        if n_eff >= 2.25:
+            return max(1.0 / f_m0, 1.0 / LIP)
+        return 1.0 / LIP
+
+    rng = np.random.default_rng(0)
+    worst = 0.0
+    for trial in range(20000):
+        m = np.exp(rng.uniform(np.log(1.05), np.log(40)))
+        u = rng.choice([-1, 1], 3) * (1.0 - np.abs(rng.normal(size=3)) * 0.03)
+        p = u / np.max(np.abs(u)) * m
+        d = rng.normal(size=3)
+        if trial % 2 == 0:  # tangential = adversarial
+            ph = p / np.linalg.norm(p)
+            d = d - ph * (d @ ph)
+        d /= np.linalg.norm(d)
+        n2 = np.linalg.norm(p)
+        t_rel = -(p @ d)
+        n_perp = np.linalg.norm(p + d * t_rel)
+        n_eff = max(1.0, n_perp if t_rel > 0 else n2)
+        li = l_inv_fixed(n_eff)
+        for rho in (0.02, 0.05, 0.1, 0.2):
+            adv = rho * li
+            ss = np.linspace(0.0, adv, 33)[1:]
+            disp = np.max(
+                np.abs(contract(p + d * ss[:, None]) - contract(p)), axis=-1
+            )
+            worst = max(worst, float(disp.max() / rho))
+    assert worst <= 1.0 + 1e-6, (
+        f"certified advance overshoots the empty ball: disp/rho = {worst:.3f}"
+    )
+
+
+def test_unbounded_skip_march_diagonal_far_field():
+    """Adversarial geometry for the LOCAL Lipschitz certificate: isolated
+    occupied voxels near the contracted-space cube DIAGONALS in the far
+    field, probed by near-diagonal rays.  For the order-inf Mip-360
+    contraction the Euclid-in/Cheb-out Jacobian norm near diagonals is
+    ~sqrt(2)/||x||_inf (~sqrt(6)/||x||_2) — ~2.4x the Euclidean-contraction
+    1/n bound — so an advance certified with 1/n can overjump an occupied
+    voxel the dense path samples.  Exact set equality must hold anyway."""
+    res, S = 32, 128
+    renderer = make_unbounded_renderer(res=res, n_samples=S)
+
+    # occupancy: single voxels along the 8 diagonal directions at several
+    # far-field contracted radii (|c| in the outer shell), plus their
+    # near-diagonal jitters
+    g = np.zeros((res, res, res), np.float32)
+    rng = np.random.default_rng(7)
+    centers = (np.arange(res) + 0.5) / res * 2.0 - 1.0  # voxel centers
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            for sz in (-1, 1):
+                for c_r in (0.55, 0.7, 0.8, 0.9):
+                    base = np.array([sx, sy, sz]) * c_r
+                    for _ in range(4):
+                        p = base + rng.normal(size=3) * 0.02
+                        idx = np.clip(
+                            np.round((p + 1.0) * 0.5 * (res - 1)), 0, res - 1
+                        ).astype(int)
+                        g[tuple(idx)] = 1.0
+    occ = renderer.occupancy.init_state()
+    occ = occ._replace(grid=jnp.asarray(g), mean=jnp.float32(g.mean()))
+    sg = renderer.skip_grid(occ)
+    params = renderer.init(jax.random.PRNGKey(0))
+
+    # near-diagonal rays from near the origin outward (the far-field samples
+    # walk the disparity tail along the diagonals)
+    n = 512
+    signs = rng.choice([-1.0, 1.0], size=(n, 3))
+    d = signs / np.sqrt(3.0) + rng.normal(size=(n, 3)) * 0.05
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 0.2
+    o = jnp.asarray(o.astype(np.float32))
+    d = jnp.asarray(d.astype(np.float32))
+
+    for key in (None, jax.random.PRNGKey(23)):
+        _, _, _, complete = renderer._march_skip(o, d, sg, key)
+        assert bool(np.asarray(complete).all())
+        out_d = renderer.render_packed(params, occ, o, d, cap=16384, key=key)
+        out_s = renderer.render_packed(
+            params, occ, o, d, cap=16384, key=key, march="skip", skip_grid=sg
+        )
+        assert int(out_d.n_samples) == int(out_s.n_samples), (
+            f"jitter={key is not None}: dense {int(out_d.n_samples)} vs "
+            f"skip {int(out_s.n_samples)} samples"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_d.rgb), np.asarray(out_s.rgb), atol=2e-5
+        )
+
+
 @pytest.mark.parametrize("blob_r,seed", [(3, 3), (6, 4)])
 def test_unbounded_skip_march_far_field_budget(blob_r, seed):
     """A REDUCED scan budget must still complete on unbounded scenes: the

@@ -293,23 +293,39 @@ def skip_march_unbounded(
         # one-voxel rounding of both endpoints)
         #
         # L is a bound on the Euclid-in/Cheb-out Lipschitz constant over the
-        # REMAINING ray [t, inf), not the global worst case: for radii
-        # n >= 1 the contraction is phi(n)*x_hat with phi = 1 - 1/(2n),
-        # whose Jacobian opnorm max(1/(2n^2), (1-1/(2n))/n) < 1/n; every
-        # point past t has radius >= n_eff (= n_perp before the closest
-        # approach, the current radius after), so L <= 1/n_eff whenever
-        # n_eff >= 2 (which also keeps the interval clear of the ~0.506
-        # kink region near n ~ 1.25).  The global constant only binds near
-        # the scene core; in the contracted far field the advance grows
-        # ~linearly with the radius (geometric traversal of the disparity
-        # tail) — without this, rays spent their whole scan budget walking
-        # the far field at ~(rho/L_global) world units per step and the
-        # trainer's completeness guard forced dense marching.
+        # REMAINING ray [t, inf), not the global worst case.  For the
+        # ORDER-INF contraction, c(x) = psi(m) * x with m = ||x||_inf and
+        # psi(m) = 1/m - 1/(2 m^2); each output component mixes only the
+        # matching input component and the dominant axis, so (Cauchy-Schwarz
+        # over those two, |x_i| <= m) the directional constant at a point of
+        # inf-radius m is at most
+        #   F(m) = (1/m) * sqrt((1 - 1/(2m))^2 + (1 - 1/m)^2),
+        # attained near DIAGONAL points (coordinates tied at the max) —
+        # asymptotically sqrt(2)/m, NOT the 1/m of the Euclidean-norm
+        # contraction (a numeric sweep measures the sup of L*||x||_2 at 2.39,
+        # i.e. ~sqrt(6)/n_2; assuming 1/n overshoots the certificate ~2.4x).
+        # Every point past t has Euclidean radius >= n_eff (= n_perp before
+        # the closest approach, the current radius after), hence inf-radius
+        # >= m0 = n_eff/sqrt(3); F decreases beyond its m=1.25 peak, so for
+        # n_eff >= 2.25 (m0 >= 1.30 > 1.25, also clear of the unit ball)
+        # L <= F(m0).  The global constant only binds near the scene core;
+        # in the contracted far field the advance still grows ~linearly with
+        # the radius (geometric traversal of the disparity tail) — without
+        # this, rays spent their whole scan budget walking the far field at
+        # ~(rho/L_global) world units per step and the trainer's
+        # completeness guard forced dense marching.
         rho = (g.astype(jnp.float32) - 1.0) * w_c
         n_k = jnp.linalg.norm(pos, axis=-1)
         n_eff = jnp.maximum(1.0, jnp.where(t < t_star, n_perp, n_k))
+        m0 = jnp.maximum(n_eff * jnp.float32(1.0 / np.sqrt(3.0)), 1.3)
+        f_m0 = jnp.sqrt(
+            (1.0 - 0.5 / m0) ** 2 + (1.0 - 1.0 / m0) ** 2
+        ) / m0
         l_inv = jnp.where(
-            n_eff >= 2.0, n_eff, jnp.float32(1.0 / _LIPSCHITZ)
+            n_eff >= 2.25,
+            # both bounds are valid here; take the larger advance
+            jnp.maximum(1.0 / f_m0, jnp.float32(1.0 / _LIPSCHITZ)),
+            jnp.float32(1.0 / _LIPSCHITZ),
         )
         t_safe = t_lo + jnp.maximum((rho - w_c) * l_inv, 0.0)
         k_safe = jnp.floor(
