@@ -102,7 +102,11 @@ class TrainConfig:
     # estimate leaves ample step budget (early training = dense); "dense" /
     # "skip" force one path.  skip_steps = scan-step budget per ray.
     march: str = "auto"  # auto | dense | skip
-    skip_steps: int = 64
+    # scan-step budget per ray (None = scene-type default: 64 for AABB, 96
+    # for unbounded — the disparity tail needs ~1.5x the rounds under the
+    # exact far-field Lipschitz certificate; 100% ray completeness on the
+    # bench's shell geometry at 96, 80% at 64, measured)
+    skip_steps: Optional[int] = None
     # rematerialize the feature field in the backward pass (trades one extra
     # field forward for not holding per-layer activations of sample_cap
     # points in HBM).  None = auto: only the wide vanilla MLP at large
@@ -127,6 +131,12 @@ class TrainConfig:
     # per-ray sample capacity of the packed eval buffer (cap = chunk * this);
     # overflowing rays fall back to the dense path per chunk
     eval_samples_per_ray: int = 64
+
+    @property
+    def effective_skip_steps(self) -> int:
+        if self.skip_steps is not None:
+            return self.skip_steps
+        return 96 if self.scene_type == "unbounded" else 64
 
     @property
     def effective_lr(self) -> float:

@@ -134,7 +134,7 @@ def build_renderer(cfg: TrainConfig, scene_scale: float, bg_color) -> NerfRender
             if cfg.remat_field is not None
             else (cfg.method == "vanilla" and cfg.sample_cap > 2_000_000)
         ),
-        skip_steps=min(cfg.skip_steps, cfg.n_samples),
+        skip_steps=min(cfg.effective_skip_steps, cfg.n_samples),
     )
 
 
