@@ -491,13 +491,25 @@ def infer(
             rays_d = np.concatenate(
                 [rays_d, np.tile(np.array([[0, 0, 1]], np.float32), (n_pad, 1))]
             )
-        outs = []
+        # dispatch every chunk before materializing any (JAX's async
+        # dispatch pipelines the chunks; a per-chunk host fetch would stall
+        # compute on the D2H round-trip — costly through the TPU relay)
+        chunks = []
         for k in range(0, rays_o.shape[0], chunk):
             o_c = jnp.asarray(rays_o[k : k + chunk])
             d_c = jnp.asarray(rays_d[k : k + chunk])
             if packed_fn is not None:
                 rgb_d, ok_d = packed_fn(params, occ_state, o_c, d_c, *grid_args)
-                rgb = np.asarray(rgb_d)
+                chunks.append((rgb_d, ok_d, o_c, d_c))
+            else:
+                chunks.append(
+                    (render_chunk_fn(params, occ_state, o_c, d_c), None, None,
+                     None)
+                )
+        outs = []
+        for rgb_d, ok_d, o_c, d_c in chunks:
+            rgb = np.asarray(rgb_d)
+            if ok_d is not None:
                 ok = np.asarray(ok_d)
                 if not ok.all():
                     # exact fallback: re-render overflow/incomplete rays
@@ -518,8 +530,6 @@ def infer(
                         )
                     )
                     rgb[bad] = dense[: bad.size]
-            else:
-                rgb = np.asarray(render_chunk_fn(params, occ_state, o_c, d_c))
             outs.append(rgb)
         img = np.concatenate(outs)[:n].reshape(K.h, K.w, 3)
         rendered.append(img)
