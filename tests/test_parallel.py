@@ -4,6 +4,7 @@ same numbers as single-device execution."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tinynerf_tpu.core import (
     ContractionAABB,
@@ -47,6 +48,7 @@ def test_sharded_render_chunk_matches_single():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_occupancy_update_matches_single():
     r = _renderer()
     params = r.init(KEY)

@@ -42,6 +42,7 @@ def pools(synthetic_scene):
     return train_rays, test_set
 
 
+@pytest.mark.slow
 def test_train_end_to_end_single_device(pools, tmp_path):
     train_rays, test_set = pools
     mesh = make_mesh(jax.devices()[:1])
@@ -239,6 +240,7 @@ def test_unbounded_training(pools, tmp_path):
     assert all(np.isfinite(m.loss) for m in out["train_metrics"])
 
 
+@pytest.mark.slow
 def test_train_forced_skip_march(pools, tmp_path):
     """train() with march='skip' forced exercises the skip-mode step
     signature, grid recomputation at occupancy updates, and the metrics
@@ -251,6 +253,7 @@ def test_train_forced_skip_march(pools, tmp_path):
     assert all(np.isfinite(m.loss) for m in out["train_metrics"])
 
 
+@pytest.mark.slow
 def test_train_actually_learns(pools, tmp_path):
     """~60 CPU steps must materially reduce the loss — guards against a
     change that keeps everything finite but silently stops learning (the
@@ -271,6 +274,7 @@ def test_train_actually_learns(pools, tmp_path):
     assert last < 0.5 * first, f"no learning: first={first:.5f} last={last:.5f}"
 
 
+@pytest.mark.slow
 def test_eval_timeline_recorded(pools, tmp_path):
     """With eval_every set, train() records a (step, wall-clock, psnr)
     timeline — the data behind the time-to-X-PSNR metric."""
