@@ -18,6 +18,8 @@ itself publishes no numbers; BASELINE.md).  North star: 5x per chip.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -25,6 +27,81 @@ import numpy as np
 
 BASELINE_RAYS_PER_SEC = 100_000.0
 N_STEPS = 20
+
+# Outage resilience (round-3 postmortem: both bench attempts died on relay
+# backend init 26 min apart and the single 30 s retry could not outlast the
+# outage, blanking BENCH_r03.json).  The parent process retries the WHOLE
+# bench in fresh subprocesses — backend-init failures are not reliably
+# retryable in-process — with backoff, bounded under the driver's window.
+RETRY_SLEEPS_S = (30, 60, 120, 300, 600)  # ~18.5 min of backoff total
+TOTAL_DEADLINE_S = 70 * 60  # give up only when a fresh attempt could not finish
+CHILD_TIMEOUT_S = 35 * 60  # one attempt (incl. ~2-4 min/variant compiles)
+
+
+def _result_line(rays_per_sec_per_chip: float, **extra) -> str:
+    return json.dumps(
+        {
+            "metric": "train_rays_per_sec_per_chip",
+            "value": round(rays_per_sec_per_chip, 1),
+            "unit": "rays/s/chip",
+            "vs_baseline": round(rays_per_sec_per_chip / BASELINE_RAYS_PER_SEC, 3),
+            **extra,
+        }
+    )
+
+
+def supervise() -> int:
+    """Run the bench in child processes with backoff; print ONE JSON line.
+
+    Children tag an early short-run measurement with FALLBACK_JSON: on
+    stderr; if every attempt dies before the full measurement, the parent
+    prints the last fallback so the round's artifact is never blank.
+    """
+    t0 = time.monotonic()
+    env = dict(os.environ, _BENCH_CHILD="1")
+    last_fallback = None
+    for attempt in range(len(RETRY_SLEEPS_S) + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=CHILD_TIMEOUT_S,
+            )
+            out, err, rc = proc.stdout, proc.stderr, proc.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+            rc = -1
+        for line in err.splitlines():
+            if line.startswith("FALLBACK_JSON: "):
+                last_fallback = line[len("FALLBACK_JSON: "):]
+            else:
+                print(line, file=sys.stderr)
+        json_lines = [l for l in out.splitlines() if l.startswith("{")]
+        if rc == 0 and json_lines:
+            print(json_lines[-1])
+            return 0
+        elapsed = time.monotonic() - t0
+        print(
+            f"bench attempt {attempt + 1} failed (rc={rc}, {elapsed:.0f}s in)",
+            file=sys.stderr,
+        )
+        if attempt >= len(RETRY_SLEEPS_S):
+            break
+        sleep = RETRY_SLEEPS_S[attempt]
+        # don't start an attempt that can't plausibly finish in the window
+        if elapsed + sleep + 15 * 60 > TOTAL_DEADLINE_S:
+            print("deadline: no time for another attempt", file=sys.stderr)
+            break
+        print(f"retrying in {sleep}s", file=sys.stderr)
+        time.sleep(sleep)
+    if last_fallback is not None:
+        print("emitting short-run fallback measurement", file=sys.stderr)
+        print(last_fallback)
+        return 0
+    return 1
 
 
 def main() -> None:
@@ -129,6 +206,14 @@ def main() -> None:
     params, opt_state, _ = run(2, params, opt_state)
     params, opt_state, _ = run(2, params, opt_state)
 
+    # short-run fallback: if the full measurement below dies on a relay
+    # outage, the supervisor prints this line instead of a blank artifact
+    t0 = time.perf_counter()
+    params, opt_state, rays_fb = run(5, params, opt_state)
+    fb = rays_fb / (time.perf_counter() - t0) / n_dev
+    print("FALLBACK_JSON: " + _result_line(fb, note="short-run fallback (5 steps)"),
+          file=sys.stderr, flush=True)
+
     t0 = time.perf_counter()
     params, opt_state, rays_used = run(N_STEPS, params, opt_state)
     elapsed = time.perf_counter() - t0
@@ -143,23 +228,11 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec_per_chip, 1),
-                "unit": "rays/s/chip",
-                "vs_baseline": round(rays_per_sec_per_chip / BASELINE_RAYS_PER_SEC, 3),
-            }
-        )
-    )
+    print(_result_line(rays_per_sec_per_chip))
 
 
 if __name__ == "__main__":
-    try:
+    if os.environ.get("_BENCH_CHILD") == "1":
         main()
-    except Exception as e:  # the TPU relay's compile helper 500s transiently
-        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
-              f"retrying once", file=sys.stderr)
-        time.sleep(30)
-        main()
+    else:
+        sys.exit(supervise())
