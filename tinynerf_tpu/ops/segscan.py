@@ -30,7 +30,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-BLOCK_ROWS = 64  # 64 x 128 = 8192 samples per grid step
+# 512 x 128 = 65536 samples per grid step.  Pallas TPU grids execute
+# SEQUENTIALLY, so at the flagship 819k-sample budget the block count is the
+# latency driver: 64-row blocks = 100 grid steps measured ~9-10 ms
+# regardless of per-block math; 512-row blocks cut that ~8x while the block
+# (256 KB f32 x3 buffers) stays far under VMEM.
+BLOCK_ROWS = 512
 
 
 def _on_tpu() -> bool:
@@ -63,22 +68,47 @@ def _segscan_kernel(x_ref, seg_ref, out_ref, carry_val, carry_seg):
         c = c + jnp.where(s_sh == seg, c_sh, 0.0)
         k *= 2
 
-    out_ref[:] = c
+    # cross-row carry WITHOUT a sequential per-row loop (the round-3 kernel
+    # RMW'd all BLOCK_ROWS rows in a fori_loop — latency-bound at ~10 ms per
+    # step at the flagship budget).  The carry into each row's FIRST segment
+    # obeys a first-order linear recurrence
+    #     add_r = A_r * add_{r-1} + B_r,
+    #     A_r = g_r * h_{r-1},  B_r = g_r * t_{r-1}
+    # (g_r: row r continues row r-1's last segment; h_r: row r is a single
+    # segment; t_r: row r's lane-scanned last value), which composes
+    # associatively ((A,B) pairs), so a log2(BLOCK_ROWS)-step operator scan
+    # over [R, 1] columns replaces the R sequential row ops.
+    rows = x.shape[0]
+    t_col = c[:, LANES - 1 :]  # [R, 1]
+    sf = seg[:, :1]
+    sl = seg[:, LANES - 1 :]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
 
-    # cross-row carry: sequential over rows, vector ops per row
-    def body(r, carry):
-        cv, cs = carry
-        row = out_ref[pl.ds(r, 1), :]  # [1, 128]
-        srow = seg_ref[pl.ds(r, 1), :]
-        row = row + jnp.where(srow == cs, cv, 0.0)
-        out_ref[pl.ds(r, 1), :] = row
-        return (row[0, LANES - 1], srow[0, LANES - 1])
+    cv_in = carry_val[0]
+    cs_in = carry_seg[0]
+    first_row = row_ids == 0
+    sl_prev = jnp.where(first_row, cs_in, pltpu.roll(sl, shift=1, axis=0))
+    t_prev = jnp.where(first_row, 0.0, pltpu.roll(t_col, shift=1, axis=0))
+    h = (sf == sl).astype(c.dtype)  # [R, 1] 0/1
+    h_prev = jnp.where(first_row, 1.0, pltpu.roll(h, shift=1, axis=0))
+    g = (sf == sl_prev).astype(c.dtype)
+    a = g * h_prev
+    b = g * t_prev
 
-    cv, cs = jax.lax.fori_loop(
-        0, x.shape[0], body, (carry_val[0], carry_seg[0])
-    )
-    carry_val[0] = cv
-    carry_seg[0] = cs
+    k = 1
+    while k < rows:
+        a_sh = pltpu.roll(a, shift=k, axis=0)
+        b_sh = pltpu.roll(b, shift=k, axis=0)
+        upd = row_ids >= k
+        b = jnp.where(upd, a * b_sh + b, b)
+        a = jnp.where(upd, a * a_sh, a)
+        k *= 2
+
+    add = a * cv_in + b  # [R, 1] carry into each row's first segment
+    out_ref[:] = c + jnp.where(seg == sf, add, 0.0)
+
+    carry_val[0] = (t_col + h * add)[rows - 1, 0]
+    carry_seg[0] = sl[rows - 1, 0]
 
 
 def segmented_cumsum(
