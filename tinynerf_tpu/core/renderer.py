@@ -106,6 +106,10 @@ class NerfRenderer:
             fn = lambda p, xx: self.field.apply(
                 p, xx, self.compute_dtype, dropout_key=dropout_key
             )
+        elif hasattr(self.field, "apply_pieces"):
+            # per-scale feature pieces flow into the decoders' split first
+            # layers concat-free (models/mlp.py mlp_apply_split)
+            fn = lambda p, xx: self.field.apply_pieces(p, xx, self.compute_dtype)
         else:
             fn = lambda p, xx: self.field.apply(p, xx, self.compute_dtype)
         if self.remat_field:

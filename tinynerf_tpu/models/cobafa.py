@@ -29,7 +29,7 @@ from ..ops.interp import (
     trilinear_lookup_mixed,
     trilinear_lookup_oct,
 )
-from .mlp import mlp_apply, mlp_init
+from .mlp import mlp_apply_split, mlp_init
 
 
 @dataclass(frozen=True)
@@ -44,10 +44,15 @@ class CobafaFeatureField:
     # "auto" = "quad" on TPU (cell-packed oct rows: ONE bf16 row gather per
     # sample per grid forward at the ~6 ns/row floor and ONE scatter row
     # backward, vs "mixed"'s 8 corner gathers + 8 scatter rows — row COUNT,
-    # not width, is what TPU gathers/scatters charge for, BASELINE.md; the
-    # ~0.6 GB bf16 oct-table rebuild per call is dense streaming, ~1-2 ms)
+    # not width, is what TPU gathers/scatters charge for, BASELINE.md)
     # and "mixed" elsewhere (CPU has no row-count floor, and the oct
     # rebuild of the 128^3 grids dominates small test workloads).
+    # The per-step oct rebuild is not free, and the record disagreed with
+    # itself (round 3 measured ~21 ms/128^3 grid; this comment said ~1-2 ms).
+    # Round-4 re-measurement: ~7.7 ms/128^3, ~34 ms across the roster on
+    # TODAY'S toolchain; a Pallas MXU rebuild kernel (ops/octbuild.py) ties
+    # but does not beat it in context, so XLA remains the default
+    # (BASELINE.md round 4).
     lookup_mode: str = "auto"  # quad | mixed | plain
     gather_dtype: str = "bfloat16"
     scatter_dtype: str = "float32"
@@ -126,14 +131,21 @@ class CobafaFeatureField:
         else:
             lookup = trilinear_lookup
         coefs = lookup(params["coef"], x)  # [..., L]
+        # per-level features stay SEPARATE all the way into the MLP's split
+        # first layer (mlp_apply_split): a lane-misaligned concat of the
+        # [n, sum(channels)] activation costs a full relayout fwd+bwd on
+        # TPU.  Dropout draws per level from a folded key — the same iid
+        # Bernoulli(p) mask semantics as the reference's Dropout over the
+        # concatenated features (src/models.py:259), different rng stream.
         feats = []
         for i, (f, basis) in enumerate(zip(self.freqs, params["basis"])):
             y = lookup(basis, sawtooth(x, f)) * coefs[..., i : i + 1]
+            if dropout_key is not None and self.dropout_p > 0.0:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_key, i),
+                    1.0 - self.dropout_p,
+                    y.shape,
+                )
+                y = jnp.where(keep, y / (1.0 - self.dropout_p), 0.0)
             feats.append(y)
-        features = jnp.concatenate(feats, axis=-1)
-        if dropout_key is not None and self.dropout_p > 0.0:
-            keep = jax.random.bernoulli(
-                dropout_key, 1.0 - self.dropout_p, features.shape
-            )
-            features = jnp.where(keep, features / (1.0 - self.dropout_p), 0.0)
-        return mlp_apply(params["mlp"], features, compute_dtype)
+        return mlp_apply_split(params["mlp"], feats, compute_dtype)

@@ -33,7 +33,7 @@ from ..ops.interp import (
 )
 from ..ops.trunc_exp import truncated_exp
 from .encodings import posenc_dim, positional_encoding
-from .mlp import linear_apply, linear_init, mlp_apply, mlp_init
+from .mlp import linear_apply, linear_init, mlp_apply, mlp_apply_split, mlp_init
 
 # coordinate pairs used per plane, in order: (x,y), (x,z), (y,z)
 DIMENSION_PAIRS: Tuple[Tuple[int, int], ...] = ((0, 1), (0, 2), (1, 2))
@@ -64,11 +64,13 @@ class KPlanesFeatureField:
     #   "mixed" — 4 corner-row gathers fwd, exact f32 scatter bwd
     #   "plain" — straight autodiff (f32 everywhere)
     lookup_mode: str = "fused"
-    # forward gather dtype: gathers are byte-rate-limited, so fp8 tables
-    # shave bytes further (e4m3 is quality-NEUTRAL at the full schedule,
-    # BASELINE.md: 33.21 dB vs 33.28 bf16 vs 33.03 f32); the backward
-    # scatter always accumulates f32
-    gather_dtype: str = "float8"
+    # forward gather dtype: gathers are byte-rate-limited.  Round 3 shipped
+    # fp8 (e4m3, quality-neutral: 33.21 dB vs 33.28 bf16, BASELINE.md);
+    # round 4 re-measured fp8 gathers at HALF the bf16 byte rate on today's
+    # toolchain (17.8 vs 40 GB/s — tools/audit_scatter_model.py), flipping
+    # the choice: bf16 is now faster AND the slightly better-quality option.
+    # The backward scatter always accumulates f32.
+    gather_dtype: str = "bfloat16"
     # mixed mode only: backward scatter accumulation dtype
     scatter_dtype: str = "float32"
     # fused mode only: how the fused table gradient is accumulated —
@@ -77,13 +79,14 @@ class KPlanesFeatureField:
     # "auto" = sorted on TPU / scatter elsewhere (see
     # ops/interp.py:bilinear_lookup_multiscale)
     bwd_mode: str = "auto"
-    # fused mode only: forward gather shape — "fusedfine" (default: ONE
-    # 384-byte row per sample per projection from the exactly-upsampled
-    # fused fine table — 3 gather row-groups/sample instead of perscale's
-    # 9, measured 41 vs 53 ms at the flagship budget; fp8 midpoint nodes
-    # round once more, A/B'd in BASELINE.md) or "perscale" (one narrow
-    # gather per scale, no extra rounding)
-    fwd_mode: str = "fusedfine"
+    # fused mode only: forward gather shape — "fusedfine" (ONE wide row per
+    # sample per projection from the exactly-upsampled fused fine table;
+    # round 3 measured it at 41 vs perscale's 53 ms) or "perscale" (one
+    # narrow gather per scale, no extra fp8 midpoint rounding).  Round 4
+    # re-measured the ordering FLIPPED on today's toolchain: perscale 82 vs
+    # fusedfine 112 ms fwd (66.8 at bf16) — the fused gather's wide rows
+    # now pay more than the per-scale row count (BASELINE.md round 4).
+    fwd_mode: str = "perscale"
 
     @property
     def feature_dim(self) -> int:
@@ -121,6 +124,19 @@ class KPlanesFeatureField:
 
     def apply(self, params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
         """x: [..., 3] in [-1,1] -> [..., feature_dim]."""
+        return jnp.concatenate(
+            self.apply_pieces(params, x, compute_dtype), axis=-1
+        )
+
+    def apply_pieces(
+        self, params, x: jax.Array, compute_dtype=jnp.float32
+    ) -> tuple:
+        """Per-scale feature pieces ([..., f] x n_scales), NOT concatenated.
+
+        The renderer feeds these straight into the decoders' split first
+        layers (mlp_apply_split) — a lane-misaligned concat of the
+        [n_samples, 96] activation costs a full relayout fwd+bwd on TPU.
+        `apply` remains the concatenated-API form."""
         gd = {
             "bfloat16": jnp.bfloat16,
             "float8": jnp.float8_e4m3fn,
@@ -140,8 +156,8 @@ class KPlanesFeatureField:
             for (i, j), plane in zip(DIMENSION_PAIRS, scale_planes):
                 v = lookup(plane, x[..., jnp.array((i, j))])
                 acc = v if acc is None else acc * v
-            features.append(acc)
-        return jnp.concatenate(features, axis=-1).astype(compute_dtype)
+            features.append(acc.astype(compute_dtype))
+        return tuple(features)
 
     def _apply_fused(self, params, x, gather_dtype, compute_dtype):
         """Multiscale lookup over all projections in ONE custom VJP
@@ -172,8 +188,8 @@ class KPlanesFeatureField:
             for v in per_proj:
                 vs = v[..., s * f : (s + 1) * f]
                 acc = vs if acc is None else acc * vs
-            features.append(acc)
-        return jnp.concatenate(features, axis=-1).astype(compute_dtype)
+            features.append(acc.astype(compute_dtype))
+        return tuple(features)
 
     def loss_tv(self, params) -> jax.Array:
         """Total-variation penalty, averaged over all planes.
@@ -211,14 +227,17 @@ class KPlanesExplicitOpacityDecoder:
     """sigma = truncated_exp(<f, W f + b> - 1) — a learned bilinear form."""
 
     feature_dim: int
+    fwd_clamp: bool = True
 
     def init(self, key: jax.Array):
         return {"linear": linear_init(key, self.feature_dim, self.feature_dim)}
 
-    def apply(self, params, features: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+    def apply(self, params, features, compute_dtype=jnp.float32) -> jax.Array:
+        if isinstance(features, tuple):  # bilinear form needs the full vector
+            features = jnp.concatenate(features, axis=-1)
         y = linear_apply(params["linear"], features, compute_dtype)
         x = jnp.sum(features.astype(compute_dtype) * y, axis=-1)
-        return truncated_exp(x.astype(jnp.float32) - 1.0)
+        return truncated_exp(x.astype(jnp.float32) - 1.0, self.fwd_clamp)
 
 
 @dataclass(frozen=True)
@@ -234,12 +253,12 @@ class KPlanesExplicitColorDecoder:
         return {"mlp": mlp_init(key, in_dim, self.hidden_dim, 3, 3 * self.feature_dim)}
 
     def apply(
-        self, params, features: jax.Array, rays_d: jax.Array, compute_dtype=jnp.float32
+        self, params, features, rays_d: jax.Array, compute_dtype=jnp.float32
     ) -> jax.Array:
-        x = jnp.concatenate(
-            [positional_encoding(rays_d, self.n_freqs), rays_d, features], axis=-1
-        )
-        basis = mlp_apply(params["mlp"], x, compute_dtype)
+        if isinstance(features, tuple):  # the basis product needs the vector
+            features = jnp.concatenate(features, axis=-1)
+        pieces = (positional_encoding(rays_d, self.n_freqs), rays_d, features)
+        basis = mlp_apply_split(params["mlp"], pieces, compute_dtype)
         basis = basis.reshape(*features.shape[:-1], 3, self.feature_dim)
         out = jnp.sum(features[..., None, :].astype(compute_dtype) * basis, axis=-1)
         return jax.nn.sigmoid(out.astype(jnp.float32))

@@ -81,3 +81,40 @@ def mlp_apply(
     for layer in params[:-1]:
         x = jax.nn.relu(linear_apply(layer, x, compute_dtype))
     return linear_apply(params[-1], x, compute_dtype)
+
+
+def mlp_apply_split(
+    params: List[dict], pieces, compute_dtype=jnp.float32
+) -> jax.Array:
+    """mlp_apply(params, concat(pieces, -1)) WITHOUT the concat.
+
+    On TPU a lane-misaligned feature concat (e.g. [posenc 51 | dirs 3 |
+    features 32]) materializes a relayout of the full [n_samples, in]
+    activation — and its transpose does it again in the backward.  Splitting
+    the first layer into per-piece matmuls against row slices of W is
+    mathematically the same contraction (equal up to f32 summation order)
+    with no concat anywhere; the W row-slicing touches only the tiny weight
+    matrix.
+    """
+    first = params[0]
+    acc = None
+    off = 0
+    for p in pieces:
+        w = first["w"][off : off + p.shape[-1]].astype(compute_dtype)
+        # accumulate the partial contractions in f32: under bf16, per-piece
+        # rounding + bf16 adds make the sum batch-shape-sensitive (packed vs
+        # dense eval diverged ~1e-4), while one f32 tree is stable and at
+        # least as accurate as the single fused dot
+        term = jnp.dot(
+            p.astype(compute_dtype), w, preferred_element_type=jnp.float32
+        )
+        acc = term if acc is None else acc + term
+        off += p.shape[-1]
+    assert off == first["w"].shape[0], (off, first["w"].shape)
+    x = (acc + first["b"].astype(jnp.float32)).astype(compute_dtype)
+    if len(params) == 1:
+        return x
+    x = jax.nn.relu(x)
+    for layer in params[1:-1]:
+        x = jax.nn.relu(linear_apply(layer, x, compute_dtype))
+    return linear_apply(params[-1], x, compute_dtype)

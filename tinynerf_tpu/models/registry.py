@@ -16,8 +16,14 @@ from .vanilla import ColorDecoder, OpacityDecoder, VanillaFeatureField
 METHODS = ("vanilla", "kplanes", "cobafa")
 
 
-def make_model(method: str) -> Tuple[object, OpacityDecoder, ColorDecoder]:
-    """Returns (feature_field, sigma_decoder, rgb_decoder)."""
+def make_model(
+    method: str, fwd_clamp: bool = True
+) -> Tuple[object, OpacityDecoder, ColorDecoder]:
+    """Returns (feature_field, sigma_decoder, rgb_decoder).
+
+    `fwd_clamp` threads TrainConfig.fwd_clamp (the truncated_exp forward-clamp
+    A/B switch, ops/trunc_exp.py) into the sigma decoder statically.
+    """
     if method == "vanilla":
         field = VanillaFeatureField(n_freqs=10, hidden_features=256, hidden_layers=8)
     elif method == "kplanes":
@@ -34,6 +40,6 @@ def make_model(method: str) -> Tuple[object, OpacityDecoder, ColorDecoder]:
         raise NotImplementedError(f"Unknown method {method!r}.")
 
     dim = field.feature_dim
-    sigma_decoder = OpacityDecoder(feature_dim=dim)
+    sigma_decoder = OpacityDecoder(feature_dim=dim, fwd_clamp=fwd_clamp)
     rgb_decoder = ColorDecoder(n_freqs=8, in_features=dim, hidden_features=64, hidden_layers=3)
     return field, sigma_decoder, rgb_decoder

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.trunc_exp import truncated_exp
 from .encodings import posenc_dim, positional_encoding
-from .mlp import mlp_apply, mlp_init
+from .mlp import mlp_apply, mlp_apply_split, mlp_init
 
 
 @dataclass(frozen=True)
@@ -72,14 +72,18 @@ class VanillaFeatureField:
 class OpacityDecoder:
     feature_dim: int
     hidden_features: int = 64
+    # static A/B switch threaded from TrainConfig.fwd_clamp (see ops/trunc_exp)
+    fwd_clamp: bool = True
 
     def init(self, key: jax.Array):
         return {"mlp": mlp_init(key, self.feature_dim, self.hidden_features, 0, 1)}
 
-    def apply(self, params, features: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
-        """features: [..., F] -> sigma [...] (last dim squeezed)."""
-        x = mlp_apply(params["mlp"], features, compute_dtype)
-        return truncated_exp(x.astype(jnp.float32) - 1.0)[..., 0]
+    def apply(self, params, features, compute_dtype=jnp.float32) -> jax.Array:
+        """features: [..., F] (or a tuple of pieces summing to F, fed to the
+        split first layer concat-free) -> sigma [...] (last dim squeezed)."""
+        pieces = features if isinstance(features, tuple) else (features,)
+        x = mlp_apply_split(params["mlp"], pieces, compute_dtype)
+        return truncated_exp(x.astype(jnp.float32) - 1.0, self.fwd_clamp)[..., 0]
 
 
 @dataclass(frozen=True)
@@ -94,11 +98,16 @@ class ColorDecoder:
         return {"mlp": mlp_init(key, total, self.hidden_features, self.hidden_layers, 3)}
 
     def apply(
-        self, params, features: jax.Array, rays_d: jax.Array, compute_dtype=jnp.float32
+        self, params, features, rays_d: jax.Array, compute_dtype=jnp.float32
     ) -> jax.Array:
-        """(features [..., F], dirs [..., 3]) -> rgb [..., 3] in (0, 1)."""
-        x = jnp.concatenate(
-            [positional_encoding(rays_d, self.n_freqs), rays_d, features], axis=-1
-        )
-        out = mlp_apply(params["mlp"], x, compute_dtype)
+        """(features [..., F] or tuple of pieces, dirs [..., 3]) ->
+        rgb [..., 3] in (0, 1).
+
+        The [posenc | dirs | features] concat the reference feeds its MLP
+        (src/models.py:84-88) is computed as a split first layer instead —
+        a lane-misaligned concat of the [n, 86] activation costs a full
+        relayout fwd AND bwd on TPU (mlp_apply_split)."""
+        feat = features if isinstance(features, tuple) else (features,)
+        pieces = (positional_encoding(rays_d, self.n_freqs), rays_d) + feat
+        out = mlp_apply_split(params["mlp"], pieces, compute_dtype)
         return jax.nn.sigmoid(out.astype(jnp.float32))

@@ -41,7 +41,33 @@ def _to_index_space(c, res):
 # both the packing trigger and the packed row target use it, so a packed
 # layout never lands in the unmeasured gap just below 2^19.  The 127^3 case
 # packs to exactly [512096, 256] (P=4, 27 ms vs 165 direct, 35 at P=5).
+#
+# TOOLCHAIN PIN: the cliff was measured on jax/jaxlib 0.9.0 + libtpu 0.0.34
+# (v5e via the axon relay).  It is a property of XLA's scatter lowering, NOT
+# of this code; if the toolchain moves, re-measure with
+# `python tools/probe_scatter_cliff.py` (times both sides of the cliff and
+# fails loudly if the constant has inverted) before trusting the trigger.
 _SCATTER_FAST_ROWS = 512096
+_SCATTER_CLIFF_TOOLCHAIN = ("0.9.0", "0.0.34")  # (jax, libtpu) when measured
+
+# Round-4 re-measurement (tools/bench_octbuild.py, quiet-chip caveat in
+# BASELINE.md): today's XLA builds the 128^3x4 oct table in ~7.7 ms — NOT
+# the ~21 ms in the round-3 record — and the Pallas MXU builder only TIES it
+# in context (lookup fwd+bwd 28.0 vs 27.7 ms).  The kernels stay in-tree,
+# tested and opt-in via this flag; the XLA form remains the default.
+_OCT_BUILD_PALLAS = False
+
+# Force materialization of built cell-packed tables before the consuming
+# gather.  Today's XLA otherwise folds the builds' final lane-split reshape
+# INTO the gather, lowering it to a general gather ~2-3x slower than the
+# fast row path (tools/probe_gather_fold.py, BASELINE.md round 4).
+_TABLE_BARRIER = True
+
+
+def _materialize(table):
+    if _TABLE_BARRIER:
+        return jax.lax.optimization_barrier(table)
+    return table
 
 
 def scatter_add_rows(n_rows: int, idx, contrib, out_dtype=jnp.float32):
@@ -291,13 +317,21 @@ def _interleave_shifts(t, shifts, axes):
 
 
 def _build_quad(table, gather_dtype):
-    """[r0, r1, F] -> [(r0-1)*(r1-1), 4F]; corner order (00, 01, 10, 11)."""
+    """[r0, r1, F] -> [(r0-1)*(r1-1), 4F]; corner order (00, 01, 10, 11).
+
+    A Pallas relayout kernel exists (ops/octbuild.py, opt-in via
+    _OCT_BUILD_PALLAS); round-4 measurement has the XLA interior-pad form at
+    parity on today's toolchain (BASELINE.md round 4)."""
+    if _OCT_BUILD_PALLAS and jax.default_backend() == "tpu":
+        from .octbuild import build_quad_pallas
+
+        return _materialize(build_quad_pallas(table, gather_dtype))
     t = table.astype(gather_dtype)
     r0, r1, f = table.shape
     q = _interleave_shifts(
         t, [(0, 0), (0, 1), (1, 0), (1, 1)], (0, 1)
     )  # [r0-1, r1-1, 4, F]
-    return q.reshape((r0 - 1) * (r1 - 1), 4 * f)
+    return _materialize(q.reshape((r0 - 1) * (r1 - 1), 4 * f))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -360,7 +394,16 @@ def _cell_3d(coords, r0, r1, r2):
 
 def _build_oct(table, gather_dtype):
     """[r0, r1, r2, F] -> [(r0-1)(r1-1)(r2-1), 8F]; corner order matches
-    _corners_3d (z fastest, then y, then x)."""
+    _corners_3d (z fastest, then y, then x).
+
+    A Pallas MXU relayout kernel exists (ops/octbuild.py, opt-in via
+    _OCT_BUILD_PALLAS); the round-3 record's ~21 ms/128^3 for this XLA form
+    did not reproduce in round 4 (~7.7 ms on today's toolchain; the kernel
+    ties in context — BASELINE.md round 4)."""
+    if _OCT_BUILD_PALLAS and jax.default_backend() == "tpu":
+        from .octbuild import build_oct_pallas
+
+        return _materialize(build_oct_pallas(table, gather_dtype))
     t = table.astype(gather_dtype)
     r0, r1, r2, f = table.shape
     q = _interleave_shifts(
@@ -371,7 +414,7 @@ def _build_oct(table, gather_dtype):
         ],
         (0, 1, 2),
     )  # [r0-1, r1-1, r2-1, 8, F]
-    return q.reshape((r0 - 1) * (r1 - 1) * (r2 - 1), 8 * f)
+    return _materialize(q.reshape((r0 - 1) * (r1 - 1) * (r2 - 1), 8 * f))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -545,13 +588,12 @@ def bilinear_lookup_multiscale(
                   ~21 ns/row — but effectively ~73 GB/s for these wide
                   rows);
       "sorted"  — bitonic window partition + one-hot MXU accumulation
-                  (ops/table_grad.py).  Measured SLOWER single-chip at the
-                  flagship budget (~96 ms vs ~71 ms for 3 projections): the
-                  payload permutation gather runs at the TPU's ~40 GB/s
-                  gather limit, which the scatter path never pays
-                  (BASELINE.md round-3 measurements);
-      "auto"    — "scatter" (the measured winner; also the jnp reference
-                  and the CPU path, where interpret-mode Pallas is slow).
+                  (ops/table_grad.py).  Round 3 measured it SLOWER than the
+                  scatter (~96 vs ~71 ms bwd); round 4's toolchain flipped
+                  the ordering (fwd+bwd 180.4 vs 190.3 ms at the flagship
+                  budget — BASELINE.md round 4);
+      "auto"    — "sorted" on TPU (round-4 winner), "scatter" elsewhere
+                  (the jnp reference; interpret-mode Pallas is slow on CPU).
 
     `fwd_impl` selects the forward gather shape:
       "perscale"  — one cell-packed gather per scale (narrow rows).  At fp8
@@ -625,7 +667,15 @@ def _multiscale_bwd(gather_dtype, bwd_impl, fwd_impl, res, g):
     cell, w = _cell_2d(coords, r_fine, r_fine)
     n = int(np.prod(cell.shape)) if cell.shape else 1
 
-    impl = "scatter" if bwd_impl == "auto" else bwd_impl
+    # auto: "sorted" on TPU — round 4 re-measured the sorted-window pipeline
+    # AHEAD of the XLA scatter on today's toolchain (fwd+bwd 180.4 vs
+    # 190.3 ms at the flagship budget; round 3 had it behind, 96 vs 71 ms
+    # for the bwd alone — BASELINE.md round 4) — "scatter" elsewhere and
+    # whenever the packed-key budget rules sorting out.
+    if bwd_impl == "auto":
+        impl = "sorted" if jax.default_backend() == "tpu" else "scatter"
+    else:
+        impl = bwd_impl
     if impl == "sorted" and not packed_bits_ok(-(-n_cells // 256), n):
         impl = "scatter"
 
@@ -695,7 +745,15 @@ def _multiproj_bwd(gather_dtype, bwd_impl, fwd_impl, res, gs):
     n_cells = (r_fine - 1) * (r_fine - 1)
     n = int(np.prod(gs[0].shape[:-1])) if gs[0].ndim > 1 else 1
 
-    impl = "scatter" if bwd_impl == "auto" else bwd_impl
+    # auto: "sorted" on TPU — round 4 re-measured the sorted-window pipeline
+    # AHEAD of the XLA scatter on today's toolchain (fwd+bwd 180.4 vs
+    # 190.3 ms at the flagship budget; round 3 had it behind, 96 vs 71 ms
+    # for the bwd alone — BASELINE.md round 4) — "scatter" elsewhere and
+    # whenever the packed-key budget rules sorting out.
+    if bwd_impl == "auto":
+        impl = "sorted" if jax.default_backend() == "tpu" else "scatter"
+    else:
+        impl = bwd_impl
     if impl == "sorted" and not packed_bits_ok(-(-n_cells // 256), n):
         impl = "scatter"
 

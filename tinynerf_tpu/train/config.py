@@ -97,6 +97,10 @@ class TrainConfig:
     # utilization between bucket steps
     bucket_overfill: float = 1.15
     early_termination: float = 1e-4
+    # truncated_exp forward clamp (ops/trunc_exp.py): True = clamp the
+    # FORWARD at exp(15) too (inf-guard; A/B-neutral on quality, BASELINE.md);
+    # False = the reference's unclamped forward (src/models.py:47)
+    fwd_clamp: bool = True
     # marching strategy: "auto" picks the empty-space-skipping marcher
     # (core/skipmarch.py) whenever the scene supports it AND the demand
     # estimate leaves ample step budget (early training = dense); "dense" /

@@ -100,9 +100,7 @@ def main():
     )
 
     if args.no_fwd_clamp:
-        from tinynerf_tpu.ops import trunc_exp
-
-        trunc_exp.FORWARD_CLAMP = False
+        cfg.fwd_clamp = False
 
     # optionally override field construction knobs via the registry
     if args.lookup or args.gather_dtype or args.init_range or args.fwd_mode or args.bwd_mode:
@@ -110,8 +108,8 @@ def main():
 
         orig = registry.make_model
 
-        def patched(method):
-            field, sd, rd = orig(method)
+        def patched(method, **mk_kw):
+            field, sd, rd = orig(method, **mk_kw)
             kw = {}
             if args.lookup and hasattr(field, "lookup_mode"):
                 kw["lookup_mode"] = args.lookup
