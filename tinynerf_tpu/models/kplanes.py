@@ -221,6 +221,72 @@ class KPlanesFeatureField:
                 count += 1
         return total / count
 
+    # -- row-partitioned partials (sharded-table training, parallel/zero.py)
+    #
+    # sum over block_idx in [0, n_blocks) == the full loss (and, through
+    # jax.grad, the full regularizer gradient) while each block touches only
+    # ~1/n_blocks of every plane's rows — so under data-parallel shard_map
+    # each device computes its block, the grads ride the SAME psum_scatter
+    # as the data grads, and the table-sized regularizer compute divides by
+    # the mesh instead of replicating.  Rows are blocked contiguously with a
+    # one-row halo for the cross-row diff; block_idx may be traced
+    # (jax.lax.axis_index).
+
+    def loss_tv_partial(self, params, block_idx, n_blocks: int) -> jax.Array:
+        total = jnp.float32(0.0)
+        count = 0
+        for scale_planes in params["planes"]:
+            for plane in scale_planes:
+                r0, r1, f = plane.shape
+                w = r1 * f
+                v = plane.reshape(r0, w)
+                # cross-row pairs i in [0, r0-2], blocked by pair index
+                q0 = -(-(r0 - 1) // n_blocks)
+                s0 = jnp.clip(block_idx * q0, 0, r0 - 1 - q0)
+                rows = jax.lax.dynamic_slice(v, (s0, 0), (q0 + 1, w))
+                d = rows[1:, :] - rows[:-1, :]
+                i0 = jax.lax.broadcasted_iota(jnp.int32, (q0, 1), 0) + s0
+                m0 = (
+                    (i0 >= block_idx * q0)
+                    & (i0 < (block_idx + 1) * q0)
+                    & (i0 < r0 - 1)
+                )
+                tv0 = jnp.sum(jnp.where(m0, d * d, 0.0)) / ((r0 - 1) * w)
+                # within-row pairs, blocked by row index i in [0, r0-1]
+                q1 = min(-(-r0 // n_blocks), r0)
+                s1 = jnp.clip(block_idx * q1, 0, r0 - q1)
+                rows = jax.lax.dynamic_slice(v, (s1, 0), (q1, w))
+                dd = rows[:, f:] - rows[:, :-f]
+                i1 = jax.lax.broadcasted_iota(jnp.int32, (q1, 1), 0) + s1
+                m1 = (
+                    (i1 >= block_idx * q1)
+                    & (i1 < (block_idx + 1) * q1)
+                    & (i1 < r0)
+                )
+                tv1 = jnp.sum(jnp.where(m1, dd * dd, 0.0)) / (r0 * (w - f))
+                total = total + tv0 + tv1
+                count += 1
+        return total / count
+
+    def loss_l1_partial(self, params, block_idx, n_blocks: int) -> jax.Array:
+        total = jnp.float32(0.0)
+        count = 0
+        for scale_planes in params["planes"]:
+            for plane in scale_planes:
+                r0, r1, f = plane.shape
+                w = r1 * f
+                v = plane.reshape(r0, w)
+                q = min(-(-r0 // n_blocks), r0)
+                s = jnp.clip(block_idx * q, 0, r0 - q)
+                rows = jax.lax.dynamic_slice(v, (s, 0), (q, w))
+                i = jax.lax.broadcasted_iota(jnp.int32, (q, 1), 0) + s
+                m = (i >= block_idx * q) & (i < (block_idx + 1) * q) & (i < r0)
+                total = total + jnp.sum(jnp.where(m, jnp.abs(rows), 0.0)) / (
+                    r0 * w
+                )
+                count += 1
+        return total / count
+
 
 @dataclass(frozen=True)
 class KPlanesExplicitOpacityDecoder:

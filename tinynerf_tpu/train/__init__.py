@@ -5,6 +5,7 @@ from .loop import (
     build_renderer,
     evaluate,
     infer,
+    init_opt_state,
     make_optimizer,
     make_train_step,
     train,
@@ -17,6 +18,7 @@ __all__ = [
     "infer",
     "evaluate",
     "build_renderer",
+    "init_opt_state",
     "make_optimizer",
     "make_train_step",
     "MarchPolicy",

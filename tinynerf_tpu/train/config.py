@@ -101,6 +101,16 @@ class TrainConfig:
     # FORWARD at exp(15) too (inf-guard; A/B-neutral on quality, BASELINE.md);
     # False = the reference's unclamped forward (src/models.py:47)
     fwd_clamp: bool = True
+    # ZeRO-1-style sharded-table training (parallel/zero.py): on a multi-
+    # device mesh, table gradients are psum_scatter'd, Adam moments for the
+    # tables live sharded (memory and optimizer work divide by the mesh),
+    # the TV/L1 regularizer computes row-partitioned per device, and updated
+    # table slices all_gather back.  Same total ICI bytes per step as plain
+    # psum DP; removes most table-sized replicated work at 8 chips
+    # (BASELINE.md round-4 v5e-8 projection).  No-op on one device or for
+    # fields with no declared tables.  NOTE: checkpoints carry the sharded
+    # optimizer-state layout — resume with the same mesh size + setting.
+    shard_tables: bool = False
     # marching strategy: "auto" picks the empty-space-skipping marcher
     # (core/skipmarch.py) whenever the scene supports it AND the demand
     # estimate leaves ample step budget (early training = dense); "dense" /

@@ -253,15 +253,11 @@ def make_train_step(
 
     grid_specs = (P(),) if use_skip else ()
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P()) + grid_specs
-        + (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P(), P(), P(), P()),
-        check_vma=False,
-    )
-    def data_grads(params, occ_state, *rest):
+    def local_grads(params, occ_state, rest):
+        """Per-device (inside shard_map) batch -> loss pieces + local grads.
+
+        Returns device-LOCAL (num, den, n_filled, n_complete, grads); the
+        caller chooses the reduction (psum vs psum_scatter)."""
         if use_skip:
             skip_grid, pool_o, pool_d, pool_rgb, key = rest
         else:
@@ -297,6 +293,27 @@ def make_train_step(
         (num, (den, n_filled, n_complete)), grads = jax.value_and_grad(
             data_loss, has_aux=True
         )(params)
+        return num, den, n_filled, n_complete, grads
+
+    table_keys = frozenset(getattr(renderer.field, "table_keys", frozenset()))
+    if cfg.shard_tables and n_dev > 1 and table_keys:
+        return _make_zero_step(
+            renderer, optimizer, cfg, mesh, local_grads, grid_specs,
+            table_keys, n_dev, n_cand, has_reg, deterministic,
+        )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()) + grid_specs
+        + (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def data_grads(params, occ_state, *rest):
+        num, den, n_filled, n_complete, grads = local_grads(
+            params, occ_state, rest
+        )
         num = jax.lax.psum(num, DATA_AXIS)
         den = jax.lax.psum(den, DATA_AXIS)
         n_filled = jax.lax.psum(n_filled, DATA_AXIS)
@@ -338,6 +355,99 @@ def make_train_step(
         return params, opt_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def _make_zero_step(
+    renderer, optimizer, cfg, mesh, local_grads, grid_specs,
+    table_keys, n_dev, n_cand, has_reg, deterministic,
+):
+    """Sharded-table (ZeRO-1) variant of the train step (parallel/zero.py).
+
+    Differences from the replicated step, all inside one shard_map body:
+      - table grads ride ONE psum_scatter (each device receives the summed
+        1/N flat slice) instead of a psum; MLP grads still psum;
+      - the TV/L1 regularizer computes ROW-PARTITIONED per device
+        (field.loss_tv_partial) and its grads join the data grads BEFORE
+        the reduction, so the reduce sums the partials into the exact full
+        regularizer gradient at 1/N the per-device compute;
+      - Adam runs on the local (param, grad) slice view — moments sharded,
+        optimizer work and memory divide by N;
+      - updated table slices all_gather back into full replicated tables.
+    Same total ICI bytes as psum-DP (scatter + gather = all-reduce).
+    Optimizer state must come from `init_opt_state` (global flat view)."""
+    from ..parallel import zero
+
+    def step(params, opt_state, occ_state, *rest):
+        opt_specs = zero.spec_tree(opt_state, table_keys)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), opt_specs, P()) + grid_specs
+            + (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(), opt_specs, P()),
+            check_vma=False,
+        )
+        def body(params, opt_state, occ_state, *rest):
+            ax = jax.lax.axis_index(DATA_AXIS)
+            num, den, n_filled, n_complete, grads = local_grads(
+                params, occ_state, rest
+            )
+            num = jax.lax.psum(num, DATA_AXIS)
+            den = jax.lax.psum(den, DATA_AXIS)
+            n_filled = jax.lax.psum(n_filled, DATA_AXIS)
+            n_complete = jax.lax.psum(n_complete, DATA_AXIS)
+            scale = 1.0 / jnp.maximum(den, 1.0)
+            loss = num * scale
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+            if has_reg:
+                def reg_fn(p):
+                    r = cfg.tv_reg_alpha * renderer.field.loss_tv_partial(
+                        p["field"], ax, n_dev
+                    )
+                    if cfg.l1_reg_alpha != 0.0:
+                        r = r + cfg.l1_reg_alpha * renderer.field.loss_l1_partial(
+                            p["field"], ax, n_dev
+                        )
+                    return r
+
+                reg_val, reg_grads = jax.value_and_grad(reg_fn)(params)
+                loss = loss + jax.lax.psum(reg_val, DATA_AXIS)
+                grads = jax.tree_util.tree_map(jnp.add, grads, reg_grads)
+
+            gview = zero.reduce_grads(grads, table_keys, n_dev)
+            pview = zero.local_view(params, table_keys, n_dev, ax)
+            updates, opt_state = optimizer.update(gview, opt_state, pview)
+            pview = optax.apply_updates(pview, updates)
+            params = zero.unview(pview, params, table_keys)
+            metrics = {
+                "loss": loss,
+                "rays_used": den,
+                "fill": n_filled / cfg.sample_cap,
+                "complete_frac": n_complete / n_cand,
+            }
+            if deterministic:
+                metrics["grads"] = zero.unview(gview, grads, table_keys)
+            return params, opt_state, metrics
+
+        return body(params, opt_state, occ_state, *rest)
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def init_opt_state(renderer, optimizer, cfg: TrainConfig, mesh: Mesh, params):
+    """Optimizer-state init matching the step variant make_train_step picks:
+    sharded-table runs need the global FLAT table view (parallel/zero.py);
+    everything else is a plain optimizer.init."""
+    table_keys = frozenset(getattr(renderer.field, "table_keys", frozenset()))
+    if cfg.shard_tables and mesh.devices.size > 1 and table_keys:
+        from ..parallel import zero
+
+        return zero.sharded_opt_init(
+            optimizer, params, table_keys, mesh.devices.size
+        )
+    return optimizer.init(params)
 
 
 def make_occupancy_update(renderer: NerfRenderer, mesh: Optional[Mesh] = None):
@@ -785,7 +895,7 @@ def train(
     key = jax.random.PRNGKey(cfg.seed if cfg.seed else 0)
     key, pkey = jax.random.split(key)
     params = renderer.init(pkey)
-    opt_state = optimizer.init(params)
+    opt_state = init_opt_state(renderer, optimizer, cfg, mesh, params)
     occ_state = renderer.occupancy.init_state()
     start_step = 0
 

@@ -61,6 +61,10 @@ def main() -> None:
     parser.add_argument("--remat", type=str, default="auto",
                         choices=["auto", "on", "off"],
                         help="rematerialize the field in the backward pass")
+    parser.add_argument("--shard_tables", action="store_true",
+                        help="ZeRO-1 sharded-table training on multi-device "
+                             "meshes: scatter table grads, shard Adam state, "
+                             "all_gather updated tables (parallel/zero.py)")
     args = parser.parse_args()
 
     seed = int(os.environ.get("SEED", 0))
@@ -109,6 +113,7 @@ def main() -> None:
         eval_render=args.eval_render,
         max_bucket=args.max_bucket,
         remat_field=None if args.remat == "auto" else (args.remat == "on"),
+        shard_tables=args.shard_tables,
     )
     if args.render_only:
         from tinynerf_tpu.train.loop import render_only
