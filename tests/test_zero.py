@@ -94,6 +94,71 @@ def test_view_spec_trees_classify_by_declared_keys():
     assert view["sigma"]["linear"]["w"].shape == (4, 4)
 
 
+@pytest.mark.slow
+def test_zero_checkpoint_resume_continues_identically(synthetic_scene, tmp_path):
+    """The sharded optimizer state must survive the pickle checkpoint
+    round-trip (train/checkpoint.py): 2 steps + save + load + 2 steps must
+    reproduce 4 uninterrupted steps bit-for-bit on the same mesh — the
+    contract behind TrainConfig.shard_tables' resume note."""
+    from tinynerf_tpu.data import RayPool, parse_nerf_synthetic
+    from tinynerf_tpu.train import TrainConfig, build_renderer, make_optimizer
+    from tinynerf_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from tinynerf_tpu.train.loop import init_opt_state, make_train_step
+
+    train_rays = RayPool(parse_nerf_synthetic(synthetic_scene, "train"))
+    cfg = TrainConfig(
+        method="kplanes",
+        scene_type="aabb",
+        output=tmp_path / "exp",
+        batch_size=64,
+        n_samples=16,
+        steps=4,
+        occupancy_res=16,
+        compute_dtype="float32",
+        tv_reg_alpha=1e-4,
+        shard_tables=True,
+    )
+    n_cand = 64
+    o, d, rgb = (np.asarray(a)[:n_cand] for a in train_rays.arrays())
+    renderer = build_renderer(cfg, train_rays.scene_scale, train_rays.bg_color)
+    optimizer = make_optimizer(cfg)
+    mesh = make_mesh(jax.devices()[:8])
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data"))
+    pools_dev = tuple(jax.device_put(a, sh) for a in (o, d, rgb))
+    step_fn = make_train_step(renderer, optimizer, cfg, mesh, n_cand=n_cand)
+    occ0 = renderer.occupancy.init_state()
+    keys = [jax.random.PRNGKey(100 + i) for i in range(4)]
+
+    def fresh():
+        p = renderer.init(jax.random.PRNGKey(3))
+        return p, init_opt_state(renderer, optimizer, cfg, mesh, p)
+
+    # uninterrupted 4 steps
+    params, opt_state = fresh()
+    for k in keys:
+        params, opt_state, _ = step_fn(params, opt_state, occ0, *pools_dev, k)
+    p_ref = jax.device_get(params)
+
+    # 2 steps -> checkpoint -> load -> 2 steps
+    params, opt_state = fresh()
+    for k in keys[:2]:
+        params, opt_state, _ = step_fn(params, opt_state, occ0, *pools_dev, k)
+    save_checkpoint(tmp_path / "ck", 2, {"params": params, "opt": opt_state})
+    _, state = load_checkpoint(tmp_path / "ck" / "ckpt_2.pkl")
+    params, opt_state = state["params"], state["opt"]
+    for k in keys[2:]:
+        params, opt_state, _ = step_fn(params, opt_state, occ0, *pools_dev, k)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_ref),
+        jax.tree_util.tree_leaves(jax.device_get(params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_zero_step_matches_replicated(synthetic_scene, tmp_path):
     """One shard_tables=True step on the 8-device mesh must produce the same
     loss, grads, and updated params as the replicated 8-device step on the
