@@ -26,7 +26,23 @@ import time
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 100_000.0
+BASELINE_NOTE = (
+    "provisional 100k rays/s anchor (UNMEASURED: the reference publishes no "
+    "numbers and no CUDA GPU exists here; BASELINE.md)"
+)
 N_STEPS = 20
+
+# Pinned primitive-anchor model (quiet v5e chip, jax 0.9.0 / libtpu 0.0.34,
+# tools/audit_scatter_model.py round 4).  bench.py re-measures these in a
+# ~30 s preamble and WARNS when any moved >25% — round 4 lost ~25% of
+# throughput to a silent toolchain move; this makes the next one loud.
+ANCHOR_PINS = {
+    "scatter_ns_per_row": 20.8,   # [262144,384] f32 scatter-add slope
+    "scatter_ms_fixed": 3.31,     # per-call intercept of the same fit
+    "gather_bf16_gbps": 40.0,     # 819200 x 384 B bf16 row gather byte rate
+    "topk_ms_3m": 13.0,           # top_k(k=819200) over 3.1M keys
+}
+ANCHOR_WARN_REL = 0.25
 
 # Outage resilience (round-3 postmortem: both bench attempts died on relay
 # backend init 26 min apart and the single 30 s retry could not outlast the
@@ -45,9 +61,93 @@ def _result_line(rays_per_sec_per_chip: float, **extra) -> str:
             "value": round(rays_per_sec_per_chip, 1),
             "unit": "rays/s/chip",
             "vs_baseline": round(rays_per_sec_per_chip / BASELINE_RAYS_PER_SEC, 3),
+            "baseline": BASELINE_NOTE,
             **extra,
         }
     )
+
+
+def measure_anchors() -> tuple[dict, list[str]]:
+    """~30 s primitive-anchor preamble: re-measure the pinned gather/scatter/
+    top_k model the perf defaults rest on, so toolchain drift self-announces
+    in the bench artifact instead of silently re-keying every adoption
+    (BASELINE.md round 4: a jax/libtpu bump cost 25% before anyone profiled).
+    """
+    import importlib.metadata
+
+    import jax
+    import jax.numpy as jnp
+
+    def t(f, *args, iters=8):
+        out = f(*args)
+        float(jnp.sum(out.astype(jnp.float32)))  # relay-safe sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        float(jnp.sum(out.astype(jnp.float32)))
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    rng = np.random.default_rng(0)
+    n_out, w = 512 * 512, 384  # the fine-quad table shape the pins used
+
+    @jax.jit
+    def scat(idx, upd):
+        return jnp.zeros((n_out, w), jnp.float32).at[idx].add(upd)
+
+    # tiny-n run reads the per-call intercept almost directly (4096 rows of
+    # slope is ~0.08 ms); the big-n run then yields the slope — two compiles,
+    # and the intercept estimate no longer hinges on a noisy polyfit
+    ms_by_n = {}
+    for n in (4_096, 819_200):
+        idx = jnp.asarray(rng.integers(0, n_out, n).astype(np.int32))
+        upd = jnp.asarray(rng.normal(size=(n, w)).astype(np.float32))
+        ms_by_n[n] = t(scat, idx, upd)
+    slope_ns = (ms_by_n[819_200] - ms_by_n[4_096]) / (819_200 - 4_096) * 1e6
+    fixed_ms = ms_by_n[4_096] - slope_ns * 4_096 * 1e-6
+
+    # 384 bf16 lanes = 768 B rows — the audit's wide-row byte-rate shape
+    tbl = jnp.asarray(rng.normal(size=(n_out, 384)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    @jax.jit
+    def gath(idx):
+        return jnp.take(tbl, idx, axis=0)
+
+    gidx = jnp.asarray(rng.integers(0, n_out, 819_200).astype(np.int32))
+    g_ms = t(gath, gidx)
+    gbps = 819_200 * 768 / (g_ms * 1e-3) / 1e9
+
+    keys = jnp.asarray(rng.normal(size=(3_145_728,)).astype(np.float32))
+
+    @jax.jit
+    def topk(k):
+        return jax.lax.top_k(k, 819_200)[0]
+
+    topk_ms = t(topk, keys)
+
+    try:
+        libtpu = importlib.metadata.version("libtpu")
+    except importlib.metadata.PackageNotFoundError:
+        libtpu = "unknown"
+    anchors = {
+        "jax": jax.__version__,
+        "libtpu": libtpu,
+        "scatter_ns_per_row": round(slope_ns, 1),
+        "scatter_ms_fixed": round(fixed_ms, 2),
+        "gather_bf16_gbps": round(gbps, 1),
+        "topk_ms_3m": round(topk_ms, 1),
+    }
+    warnings = []
+    for name, pin in ANCHOR_PINS.items():
+        got = anchors[name]
+        if abs(got - pin) > ANCHOR_WARN_REL * pin:
+            warnings.append(
+                f"{name} moved {pin} -> {got} (> {ANCHOR_WARN_REL:.0%}): "
+                "re-run tools/probe_gather_fold.py + tools/probe_scatter_cliff.py "
+                "before trusting the measured-adoption defaults"
+            )
+    return anchors, warnings
 
 
 def supervise() -> int:
@@ -61,13 +161,16 @@ def supervise() -> int:
     env = dict(os.environ, _BENCH_CHILD="1")
     last_fallback = None
     for attempt in range(len(RETRY_SLEEPS_S) + 1):
+        # cap each attempt to the window actually left, so a late attempt
+        # cannot overrun TOTAL_DEADLINE_S by the full child timeout
+        remaining = TOTAL_DEADLINE_S - (time.monotonic() - t0)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
                 env=env,
                 capture_output=True,
                 text=True,
-                timeout=CHILD_TIMEOUT_S,
+                timeout=max(60.0, min(CHILD_TIMEOUT_S, remaining)),
             )
             out, err, rc = proc.stdout, proc.stderr, proc.returncode
         except subprocess.TimeoutExpired as e:
@@ -80,6 +183,9 @@ def supervise() -> int:
             else:
                 print(line, file=sys.stderr)
         json_lines = [l for l in out.splitlines() if l.startswith("{")]
+        for line in out.splitlines():  # keep child diagnostics triageable
+            if not line.startswith("{"):
+                print(line, file=sys.stderr)
         if rc == 0 and json_lines:
             print(json_lines[-1])
             return 0
@@ -91,8 +197,9 @@ def supervise() -> int:
         if attempt >= len(RETRY_SLEEPS_S):
             break
         sleep = RETRY_SLEEPS_S[attempt]
-        # don't start an attempt that can't plausibly finish in the window
-        if elapsed + sleep + 15 * 60 > TOTAL_DEADLINE_S:
+        # don't start an attempt without enough window left to plausibly
+        # reach at least the short-run fallback measurement
+        if elapsed + sleep + 12 * 60 > TOTAL_DEADLINE_S:
             print("deadline: no time for another attempt", file=sys.stderr)
             break
         print(f"retrying in {sleep}s", file=sys.stderr)
@@ -123,6 +230,11 @@ def main() -> None:
     ap.add_argument("--method", default="kplanes")
     ap.add_argument("--scene_type", default="aabb", choices=["aabb", "unbounded"])
     args = ap.parse_args()
+
+    anchors, anchor_warnings = measure_anchors()
+    print(f"anchors: {json.dumps(anchors)}", file=sys.stderr, flush=True)
+    for w in anchor_warnings:
+        print(f"ANCHOR DRIFT: {w}", file=sys.stderr, flush=True)
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -211,8 +323,9 @@ def main() -> None:
     t0 = time.perf_counter()
     params, opt_state, rays_fb = run(5, params, opt_state)
     fb = rays_fb / (time.perf_counter() - t0) / n_dev
-    print("FALLBACK_JSON: " + _result_line(fb, note="short-run fallback (5 steps)"),
-          file=sys.stderr, flush=True)
+    print("FALLBACK_JSON: " + _result_line(
+        fb, note="short-run fallback (5 steps)", anchors=anchors),
+        file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     params, opt_state, rays_used = run(N_STEPS, params, opt_state)
@@ -228,7 +341,10 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(_result_line(rays_per_sec_per_chip))
+    extra = {"anchors": anchors}
+    if anchor_warnings:
+        extra["anchor_warnings"] = anchor_warnings
+    print(_result_line(rays_per_sec_per_chip, **extra))
 
 
 if __name__ == "__main__":

@@ -142,6 +142,72 @@ def test_decay_tables_switch():
     assert outs[True] > 0.0            # reference decays everything
 
 
+def test_fused_adam_matches_optax_chain():
+    """The fused single-pass optimizer (train/loop._fused_adam) must
+    reproduce the optax chain it replaces — add_decayed_weights +
+    scale_by_adam + scale_by_learning_rate + masked table scale — exactly
+    (same op order, same f32 math) over several steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from functools import partial
+
+    from tinynerf_tpu.train.loop import (
+        _decay_mask,
+        lr_schedule,
+        make_optimizer,
+    )
+
+    c = cfg(method="cobafa", lr_init=1e-3, lr_tables=1e-2, weight_decay=1e-5)
+    # reference chain, built exactly as rounds 1-4 did
+    schedule = lr_schedule(c)
+    from tinynerf_tpu.models.registry import make_model
+
+    field, _, _ = make_model(c.method)
+    mask_fn = partial(
+        _decay_mask,
+        table_keys=frozenset(field.table_keys),
+        mlp_keys=frozenset(field.mlp_keys),
+    )
+    ratio = c.effective_lr_tables / c.effective_lr
+
+    def table_mask(params):
+        return jax.tree_util.tree_map(lambda m: not m, mask_fn(params))
+
+    chain = optax.chain(
+        optax.add_decayed_weights(c.weight_decay, mask=mask_fn),
+        optax.scale_by_adam(eps=c.adam_eps),
+        optax.scale_by_learning_rate(schedule),
+        optax.masked(optax.scale(ratio), table_mask),
+    )
+    fused = make_optimizer(c)
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "field": {"basis": [jax.random.normal(key, (5, 5, 2))],
+                  "mlp": [(jax.random.normal(jax.random.PRNGKey(1), (4, 4)),
+                           jnp.zeros(4))]},
+        "rgb": {"mlp": [(jax.random.normal(jax.random.PRNGKey(2), (3, 3)),
+                         jnp.zeros(3))]},
+    }
+    # cobafa declares table_keys={'basis','coef'}; our toy tree uses 'basis'
+    sc, sf = chain.init(params), fused.init(params)
+    pc = pf = params
+    for i in range(3):
+        g = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(jax.random.PRNGKey(10 + i), p.shape),
+            params,
+        )
+        uc, sc = chain.update(g, sc, pc)
+        uf, sf = fused.update(g, sf, pf)
+        for a, b in zip(jax.tree_util.tree_leaves(uc),
+                        jax.tree_util.tree_leaves(uf)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        pc = optax.apply_updates(pc, uc)
+        pf = optax.apply_updates(pf, uf)
+
+
 def test_method_aware_lr_defaults():
     """Per-method lr defaults (BASELINE.md sweeps): K-Planes keeps the
     reference's 1e-2; vanilla/cobafa use the swept optima."""

@@ -94,6 +94,55 @@ def test_table_grad_sorted_eight_corners():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5 * scale)
 
 
+@pytest.mark.parametrize("seed,w_window", [(1, 128), (2, 256)])
+def test_table_grad_sorted_bf16_payload(seed, w_window):
+    """The bf16 payload quantizes ONLY the cotangent g (~2^-8 relative);
+    weights ride as an exact (hi, lo) pair and the cell as the exact
+    within-window offset — so the result matches the f32 scatter to g's
+    quantization error, not worse."""
+    g, w4, cell, n_cells = _random_case(seed)
+    out = table_grad_sorted(
+        g, w4, cell, n_cells, w_window=w_window, payload_dtype=jnp.bfloat16
+    )
+    ref = _scatter_ref(g, w4, cell, n_cells)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=6e-3 * scale
+    )
+    # and it is exactly the scatter of bf16-quantized g (weights exact)
+    ref_q = _scatter_ref(g.astype(jnp.bfloat16).astype(jnp.float32), w4, cell, n_cells)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_q), atol=3e-5 * scale
+    )
+
+
+def test_multiscale_lookup_sorted_bf16_grads_close():
+    """End to end: bwd_impl='sorted_bf16' grads match the scatter backward
+    to the g-quantization error class."""
+    key = jax.random.PRNGKey(4)
+    tables = tuple(
+        jax.random.normal(jax.random.fold_in(key, i), (r, r, 4))
+        for i, r in enumerate((9, 17, 33))
+    )
+    coords = jax.random.uniform(jax.random.PRNGKey(9), (400, 2), minval=-1, maxval=1)
+    cot = jax.random.normal(jax.random.PRNGKey(5), (400, 12))
+
+    def run(impl):
+        def f(ts):
+            out = bilinear_lookup_multiscale(ts, coords, jnp.float32, impl)
+            return jnp.sum(out * cot)
+
+        return jax.grad(f)(tables)
+
+    g_scatter = run("scatter")
+    g_bf16 = run("sorted_bf16")
+    for a, b in zip(g_scatter, g_bf16):
+        scale = float(jnp.abs(a).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=8e-3 * scale
+        )
+
+
 def test_windowed_accumulate_empty_and_skewed_windows():
     """Windows with zero samples and one window holding everything."""
     p, n, f = 1, 700, 4

@@ -253,6 +253,48 @@ def test_train_forced_skip_march(pools, tmp_path):
     assert all(np.isfinite(m.loss) for m in out["train_metrics"])
 
 
+def test_train_learns_smoke(pools, tmp_path):
+    """Fast-tier guard that training actually reduces the loss (loose bound,
+    few steps) — the full assertion lives in the slow-tier
+    test_train_actually_learns; without this, a change that silently stops
+    learning would pass the default `-m 'not slow'` run (ADVICE r4)."""
+    train_rays, _ = pools
+    mesh = make_mesh(jax.devices()[:1])
+    cfg = tiny_cfg(
+        tmp_path, method="kplanes", batch_size=128, n_samples=32, steps=20,
+        occupancy_update_every=1000, ray_buckets=(1,),
+    )
+    out = train(cfg, train_rays, mesh=mesh)
+    losses = [m.loss for m in out["train_metrics"]]
+    first = float(np.mean(losses[:3]))
+    last = float(np.mean(losses[-5:]))
+    assert last < 0.85 * first, f"no learning: first={first:.5f} last={last:.5f}"
+
+
+def test_resume_shard_layout_mismatch(pools, tmp_path):
+    """A shard_tables checkpoint embeds a mesh-size-dependent optimizer
+    layout; resuming under a different mesh size or shard setting must fail
+    with a descriptive error, not an opaque tree/shape error (ADVICE r4)."""
+    train_rays, _ = pools
+    mesh8 = make_mesh(jax.devices()[:8])
+    cfg = tiny_cfg(tmp_path, method="kplanes", steps=1, checkpoint_every=1,
+                   shard_tables=True)
+    train(cfg, train_rays, mesh=mesh8)
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    cfg2 = tiny_cfg(tmp_path, method="kplanes", steps=2, shard_tables=False)
+    with pytest.raises(ValueError, match="shard_tables"):
+        train(cfg2, train_rays, mesh=mesh1, resume=True)
+
+    # replicated checkpoints stay resumable across mesh sizes
+    cfg3 = tiny_cfg(tmp_path / "rep", method="vanilla", steps=1,
+                    checkpoint_every=1)
+    train(cfg3, train_rays, mesh=mesh1)
+    cfg4 = tiny_cfg(tmp_path / "rep", method="vanilla", steps=2)
+    out = train(cfg4, train_rays, mesh=mesh8, resume=True)
+    assert len(out["train_metrics"]) == 1
+
+
 @pytest.mark.slow
 def test_train_actually_learns(pools, tmp_path):
     """~60 CPU steps must materially reduce the loss — guards against a

@@ -57,6 +57,13 @@ _SCATTER_CLIFF_TOOLCHAIN = ("0.9.0", "0.0.34")  # (jax, libtpu) when measured
 # tested and opt-in via this flag; the XLA form remains the default.
 _OCT_BUILD_PALLAS = False
 
+# Which sorted-window payload "auto" resolves to on TPU (ops/table_grad.py):
+# "sorted_bf16" halves the pipeline's permutation-gather bytes by carrying
+# the cotangent in bf16 (weights/cells stay exact) — measured faster at the
+# flagship budget and quality-neutral on the proxy scene (BASELINE.md
+# round 5); set to "sorted" to restore the f32 payload.
+_SORTED_AUTO = "sorted_bf16"
+
 # Force materialization of built cell-packed tables before the consuming
 # gather.  Today's XLA otherwise folds the builds' final lane-split reshape
 # INTO the gather, lowering it to a general gather ~2-3x slower than the
@@ -673,18 +680,21 @@ def _multiscale_bwd(gather_dtype, bwd_impl, fwd_impl, res, g):
     # for the bwd alone — BASELINE.md round 4) — "scatter" elsewhere and
     # whenever the packed-key budget rules sorting out.
     if bwd_impl == "auto":
-        impl = "sorted" if jax.default_backend() == "tpu" else "scatter"
+        impl = _SORTED_AUTO if jax.default_backend() == "tpu" else "scatter"
     else:
         impl = bwd_impl
-    if impl == "sorted" and not packed_bits_ok(-(-n_cells // 256), n):
+    if impl.startswith("sorted") and not packed_bits_ok(-(-n_cells // 256), n):
         impl = "scatter"
 
-    if impl == "sorted":
+    if impl.startswith("sorted"):
         gq = table_grad_sorted(
             g.reshape(1, n, f_tot),
             w.reshape(1, n, 4),
             cell.reshape(1, n),
             n_cells,
+            payload_dtype=(
+                jnp.bfloat16 if impl == "sorted_bf16" else jnp.float32
+            ),
         )[0]
     else:
         # corner-major rows [c0(f_tot), c1, c2, c3]
@@ -751,10 +761,10 @@ def _multiproj_bwd(gather_dtype, bwd_impl, fwd_impl, res, gs):
     # for the bwd alone — BASELINE.md round 4) — "scatter" elsewhere and
     # whenever the packed-key budget rules sorting out.
     if bwd_impl == "auto":
-        impl = "sorted" if jax.default_backend() == "tpu" else "scatter"
+        impl = _SORTED_AUTO if jax.default_backend() == "tpu" else "scatter"
     else:
         impl = bwd_impl
-    if impl == "sorted" and not packed_bits_ok(-(-n_cells // 256), n):
+    if impl.startswith("sorted") and not packed_bits_ok(-(-n_cells // 256), n):
         impl = "scatter"
 
     cells, ws = [], []
@@ -763,12 +773,15 @@ def _multiproj_bwd(gather_dtype, bwd_impl, fwd_impl, res, gs):
         cells.append(cell.reshape(n))
         ws.append(w.reshape(n, 4))
 
-    if impl == "sorted":
+    if impl.startswith("sorted"):
         gq_all = table_grad_sorted(
             jnp.stack([g.reshape(n, f_tot) for g in gs]),
             jnp.stack(ws),
             jnp.stack(cells),
             n_cells,
+            payload_dtype=(
+                jnp.bfloat16 if impl == "sorted_bf16" else jnp.float32
+            ),
         )
         gq_by_proj = [gq_all[p] for p in range(n_proj)]
     else:

@@ -14,18 +14,33 @@ one-hot MXU matmuls:
 streamed chunk-by-chunk from HBM with explicit DMA.  Everything is
 vectorized: no per-row serialization anywhere in the pipeline.
 
-Data layout: ONE packed f32 row per sample — [g(F) | w(nc) | cell] — so the
-whole sorted stream costs ONE permutation gather (row gathers are
-latency-floored at ~6 ns/row on narrow rows, so three separate gathers for
-g/w/cell would pay the floor three times) and one DMA stream in the kernel.
-`cell` rides as an exact f32 integer (n_cells << 2^24).  DMA chunk bases are
-aligned DOWN to 32 rows (Mosaic requires provably tile-aligned dynamic
-slices); rows outside [start, end) are masked in the one-hot.
+Data layout: ONE packed row per sample, so the whole sorted stream costs ONE
+permutation gather (row gathers are latency-floored at ~6 ns/row on narrow
+rows, so three separate gathers for g/w/cell would pay the floor three
+times) and one DMA stream in the kernel.  Two payload encodings:
+
+  f32  — [g(F) | w(nc) | cell] f32, padded to a 128-lane multiple.  `cell`
+         rides as an exact f32 integer (n_cells << 2^24).  At the K-Planes
+         flagship width (F=96) this is 128 f32 lanes = 512 B/row.
+  bf16 — [g(F) | w_hi(nc) | w_lo(nc) | local] bf16, padded to a 128-lane
+         multiple.  HALF the permutation-gather bytes (the pipeline's
+         gather-limited stage; round-5 adoption, BASELINE.md): the corner
+         weights ride as an exact (hi, lo) bf16 pair (~16 mantissa bits) and
+         the cell id rides as the WITHIN-WINDOW offset cell % w_window —
+         values < 256 are exact in bf16, and the sort already fixes the
+         window.  Only the cotangent g itself is quantized to bf16 (~2^-8
+         relative) — the same precision class as the bf16 forward gathers
+         the training step already runs.
+
+DMA chunk bases are aligned DOWN to 32 rows (Mosaic requires provably
+tile-aligned dynamic slices); rows outside [start, end) are masked in the
+one-hot.
 
 Precision: contributions are computed in f32 on the VPU, split into a bf16
 (hi, lo) pair and accumulated with TWO bf16 matmuls into an f32 accumulator
-— each term carries ~16 mantissa bits, so the result matches the f32
-scatter reference to ~1e-5 relative (tests assert this).
+— each term carries ~16 mantissa bits, so the f32-payload result matches
+the f32 scatter reference to ~1e-5 relative (tests assert this); the bf16
+payload adds only the g-quantization error (~2^-8, tests assert ~1e-2).
 
 Replaces the backward of torch grid_sample (/root/reference/src/models.py:
 105-113) in the K-Planes path; wired in via ops/interp.py's multiscale
@@ -69,6 +84,7 @@ def _accum_kernel(
     base0 = pl.multiple_of((start // _ALIGN) * _ALIGN, _ALIGN)
     n_chunks = (end - base0 + (c - 1)) // c
 
+    bf16_payload = packed_ref.dtype == jnp.bfloat16
     cell_base = w * w_window
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (c, w_window), 1)
@@ -83,16 +99,33 @@ def _accum_kernel(
 
         pos = base + iota_c  # [C, 1]
         valid = (pos >= start) & (pos < end)
-        cell = buf[:, f_dim + n_corners : f_dim + n_corners + 1].astype(
-            jnp.int32
-        )  # [C, 1]
-        local = cell - cell_base
+        if bf16_payload:
+            # bf16 layout: [g | w_hi | w_lo | local]; the cell column is
+            # already the within-window offset (exact in bf16)
+            local = buf[
+                :, f_dim + 2 * n_corners : f_dim + 2 * n_corners + 1
+            ].astype(jnp.int32)  # [C, 1]
+            g = buf[:, :f_dim].astype(jnp.float32)  # [C, F]
+            wts = [
+                buf[:, f_dim + k : f_dim + k + 1].astype(jnp.float32)
+                + buf[
+                    :, f_dim + n_corners + k : f_dim + n_corners + k + 1
+                ].astype(jnp.float32)
+                for k in range(n_corners)
+            ]
+        else:
+            cell = buf[:, f_dim + n_corners : f_dim + n_corners + 1].astype(
+                jnp.int32
+            )  # [C, 1]
+            local = cell - cell_base
+            g = buf[:, :f_dim]  # [C, F] f32
+            wts = [
+                buf[:, f_dim + k : f_dim + k + 1] for k in range(n_corners)
+            ]
         onehot = ((iota_w == local) & valid).astype(jnp.bfloat16)  # [C, W]
 
-        g = buf[:, :f_dim]  # [C, F] f32
         contrib = jnp.concatenate(
-            [buf[:, f_dim + k : f_dim + k + 1] * g for k in range(n_corners)],
-            axis=1,
+            [wk * g for wk in wts], axis=1
         )  # [C, nc*F] f32
         hi = contrib.astype(jnp.bfloat16)
         lo = (contrib - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -111,7 +144,7 @@ def _accum_kernel(
 
 
 def windowed_accumulate(
-    packed_s: jax.Array,  # [P, M, F + nc + 1] f32, sorted by window
+    packed_s: jax.Array,  # [P, M, fp] f32 or bf16 (see payload layouts above)
     offsets: jax.Array,  # [P, NW + 1] i32 cumulative counts per window
     f_dim: int,
     n_corners: int,
@@ -121,11 +154,13 @@ def windowed_accumulate(
 ) -> jax.Array:
     """-> [P, n_cells_pad, nc*F] f32: sum over samples i in each cell of
     concat_c(w[i, c] * g[i, :]).  M must include >= _CHUNK rows of slack
-    past offsets[:, -1] (fixed-size DMA chunks; the tail is masked)."""
+    past offsets[:, -1] (fixed-size DMA chunks; the tail is masked).
+    The payload encoding is keyed on packed_s.dtype (module docstring)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     p, m, fp = packed_s.shape
-    assert fp >= f_dim + n_corners + 1
+    bf16_payload = packed_s.dtype == jnp.bfloat16
+    assert fp >= f_dim + (2 if bf16_payload else 1) * n_corners + 1
     assert fp % 128 == 0, "packed rows must be 128-lane aligned for the DMA"
     assert n_cells_pad % w_window == 0
     nw = n_cells_pad // w_window
@@ -142,7 +177,7 @@ def windowed_accumulate(
             (1, w_window, n_corners * f_dim), lambda pi, wi, *_: (pi, wi, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((_CHUNK, fp), jnp.float32),
+            pltpu.VMEM((_CHUNK, fp), packed_s.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -156,7 +191,7 @@ def windowed_accumulate(
             (p, n_cells_pad, n_corners * f_dim), jnp.float32
         ),
         interpret=interpret,
-    )(offsets.astype(jnp.int32), packed_s.astype(jnp.float32))
+    )(offsets.astype(jnp.int32), packed_s)
 
 
 # ------------------------------------------------------------------ pipeline
@@ -197,23 +232,37 @@ def table_grad_sorted(
     n_cells: int,
     w_window: int = 256,
     interpret: bool | None = None,
+    payload_dtype=jnp.float32,
 ) -> jax.Array:
     """Drop-in replacement for
     `zeros(n_cells, nc*F).at[cell].add(concat_c(w[:, :, c, None] * g))`
     built from sort_by_window + ONE packed permutation gather +
     windowed_accumulate.  Returns [P, n_cells, nc*F] f32.
+
+    payload_dtype=bf16 halves the permutation-gather bytes (the pipeline's
+    gather-limited stage) at the cost of quantizing g to bf16 (~2^-8
+    relative); corner weights and cell ids stay exact (module docstring).
     """
     p, n, f_dim = g.shape
     nc = w_corners.shape[-1]
     n_cells_pad = -(-n_cells // w_window) * w_window
     perm, offsets = sort_by_window(cell, n_cells_pad, w_window, interpret)
-    fp = f_dim + nc + 1
-    fp_pad = -(-fp // 128) * 128  # lane-dim DMA slices must be 128-aligned
-    packed = jnp.concatenate(
-        [g, w_corners, cell[:, :, None].astype(jnp.float32)]
-        + ([jnp.zeros((p, n, fp_pad - fp), jnp.float32)] if fp_pad > fp else []),
-        axis=-1,
-    )
+    if payload_dtype == jnp.bfloat16:
+        w_hi = w_corners.astype(jnp.bfloat16)
+        w_lo = (w_corners - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        local = (cell % w_window)[:, :, None].astype(jnp.bfloat16)
+        fp = f_dim + 2 * nc + 1
+        fp_pad = -(-fp // 128) * 128
+        parts = [g.astype(jnp.bfloat16), w_hi, w_lo, local]
+        if fp_pad > fp:
+            parts.append(jnp.zeros((p, n, fp_pad - fp), jnp.bfloat16))
+    else:
+        fp = f_dim + nc + 1
+        fp_pad = -(-fp // 128) * 128  # lane-dim DMA slices must be 128-aligned
+        parts = [g, w_corners, cell[:, :, None].astype(jnp.float32)]
+        if fp_pad > fp:
+            parts.append(jnp.zeros((p, n, fp_pad - fp), jnp.float32))
+    packed = jnp.concatenate(parts, axis=-1)
     packed_s = jnp.take_along_axis(packed, perm[:, :, None], axis=1)
     # DMA slack: fixed-size aligned chunks may read past the last valid row
     packed_s = jnp.pad(packed_s, ((0, 0), (0, _CHUNK), (0, 0)))

@@ -56,6 +56,7 @@ def main() -> None:
     combos = [
         dict(fwd_mode="perscale", bwd_mode="scatter", gather_dtype="bfloat16"),
         dict(fwd_mode="perscale", bwd_mode="sorted", gather_dtype="bfloat16"),
+        dict(fwd_mode="perscale", bwd_mode="sorted_bf16", gather_dtype="bfloat16"),
         dict(lookup_mode="quad", gather_dtype="bfloat16"),
     ]
     for kw in combos:
