@@ -246,3 +246,81 @@ def test_multiproj_matches_per_projection():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-4 * scale
             )
+
+
+@pytest.mark.slow
+def test_multiproj_sharded_pullback_partials_sum_to_full():
+    """shard_axis grads (ops/interp.py _sharded_pullback): inside shard_map
+    each device returns a row-band PARTIAL of every master-table gradient;
+    their psum must equal the unsharded full-batch gradient — the contract
+    the shard_bwd train step (train/loop.py) relies on.  Slow tier: the
+    8-device shard_map grad compile is ~2 min on CPU, and the fast tier
+    keeps end-to-end shard_bwd equality via test_zero's zero_bwd variant."""
+    from functools import partial as fpartial
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from tinynerf_tpu.ops.interp import multiscale_lookup_multiproj
+    from tinynerf_tpu.parallel import DATA_AXIS, make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(jax.devices()[:8])
+
+    key = jax.random.PRNGKey(4)
+    tables_by_proj = tuple(
+        tuple(
+            jax.random.normal(jax.random.fold_in(key, 10 * p + i), (r, r, 4))
+            for i, r in enumerate((9, 17, 33))
+        )
+        for p in range(3)
+    )
+    n = 512
+    coords_by_proj = tuple(
+        jax.random.uniform(
+            jax.random.PRNGKey(40 + p), (n, 2), minval=-1, maxval=1
+        )
+        for p in range(3)
+    )
+    cot = tuple(
+        jax.random.normal(jax.random.PRNGKey(50 + p), (n, 12))
+        for p in range(3)
+    )
+
+    def loss(ts, coords, cs, shard_axis):
+        outs = multiscale_lookup_multiproj(
+            ts, coords, jnp.float32, "scatter", "perscale", shard_axis
+        )
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cs))
+
+    g_ref = jax.grad(loss)(tables_by_proj, coords_by_proj, cot, None)
+
+    @fpartial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def sharded_grads(ts, coords, cs):
+        g = jax.grad(
+            lambda t: loss(t, coords, cs, (DATA_AXIS, 8))
+        )(ts)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, DATA_AXIS), g
+        )
+
+    g_sh = sharded_grads(tables_by_proj, coords_by_proj, cot)
+    for gp_ref, gp_sh in zip(g_ref, g_sh):
+        for a, b in zip(gp_ref, gp_sh):
+            scale = float(jnp.abs(a).max()) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-4 * scale
+            )

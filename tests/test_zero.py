@@ -184,6 +184,21 @@ def test_zero_step_matches_replicated(synthetic_scene, tmp_path):
     n_cand = 64
     o, d, rgb = (np.asarray(a)[:n_cand] for a in train_rays.arrays())
     renderer = build_renderer(cfg, train_rays.scene_scale, train_rays.bg_color)
+    # shrink the field: the plumbing under test (flat views, psum_scatter,
+    # partial TV, banded pullback) is size-agnostic, and the full 513^2
+    # tables cost minutes of CPU-mesh compile per step variant
+    from tinynerf_tpu.models.vanilla import ColorDecoder, OpacityDecoder
+
+    small = KPlanesFeatureField(feature_dim_per_plane=8, resolutions=(9, 17, 33))
+    renderer = dataclasses.replace(
+        renderer,
+        field=small,
+        sigma_decoder=OpacityDecoder(feature_dim=small.feature_dim),
+        rgb_decoder=ColorDecoder(
+            n_freqs=8, in_features=small.feature_dim, hidden_features=16,
+            hidden_layers=2,
+        ),
+    )
     optimizer = make_optimizer(cfg)
     params0 = renderer.init(jax.random.PRNGKey(3))
     occ0 = renderer.occupancy.init_state()
@@ -196,8 +211,15 @@ def test_zero_step_matches_replicated(synthetic_scene, tmp_path):
     pools_dev = tuple(jax.device_put(a, sh) for a in (o, d, rgb))
 
     results = {}
-    for name, shard in (("replicated", False), ("zero", True)):
-        c = dataclasses.replace(cfg, shard_tables=shard)
+    for name, shard, sbwd in (
+        ("replicated", False, False),
+        ("zero", True, False),
+        # shard_bwd: the fused backward's fine-grad pullback runs row-banded
+        # per device (ops/interp.py _sharded_pullback); per-device grads are
+        # PARTIALS that the step's reductions must sum to the same numbers
+        ("zero_bwd", True, True),
+    ):
+        c = dataclasses.replace(cfg, shard_tables=shard, shard_bwd=sbwd)
         step_fn = make_train_step(
             renderer, optimizer, c, mesh, n_cand=n_cand, deterministic=True
         )
@@ -206,26 +228,28 @@ def test_zero_step_matches_replicated(synthetic_scene, tmp_path):
         p1, os1, m = step_fn(params, opt_state, occ0, *pools_dev, key)
         results[name] = (p1, os1, m)
 
-    m_rep, m_zero = results["replicated"][2], results["zero"][2]
-    np.testing.assert_allclose(
-        float(m_zero["loss"]), float(m_rep["loss"]), rtol=1e-5
-    )
-    for a, b in zip(
-        jax.tree_util.tree_leaves(m_rep["grads"]),
-        jax.tree_util.tree_leaves(m_zero["grads"]),
-    ):
+    m_rep = results["replicated"][2]
+    for variant in ("zero", "zero_bwd"):
+        m_zero = results[variant][2]
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
+            float(m_zero["loss"]), float(m_rep["loss"]), rtol=1e-5
         )
-    # updated params: tables went through shard->Adam->all_gather; must land
-    # where the replicated update landed
-    for a, b in zip(
-        jax.tree_util.tree_leaves(results["replicated"][0]),
-        jax.tree_util.tree_leaves(results["zero"][0]),
-    ):
-        np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
-        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(m_rep["grads"]),
+            jax.tree_util.tree_leaves(m_zero["grads"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
+            )
+        # updated params: tables went through shard->Adam->all_gather; must
+        # land where the replicated update landed
+        for a, b in zip(
+            jax.tree_util.tree_leaves(results["replicated"][0]),
+            jax.tree_util.tree_leaves(results[variant][0]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
+            )
     # the sharded opt state actually IS sharded: table moment leaves are
     # flat padded vectors, not plane-shaped
     zmask = table_mask_tree(results["zero"][1], frozenset({"planes"}))

@@ -19,7 +19,7 @@ fetch is one contiguous 32-float row gather (see ops/interp.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +87,12 @@ class KPlanesFeatureField:
     # fusedfine 112 ms fwd (66.8 at bf16) — the fused gather's wide rows
     # now pay more than the per-scale row count (BASELINE.md round 4).
     fwd_mode: str = "perscale"
+    # fused mode only: `(mesh_axis_name, n_devices)` to shard the backward
+    # fine-gradient pullback over the mesh (ops/interp.py _sharded_pullback).
+    # Set ONLY by the train step when cfg.shard_bwd is on — the field must
+    # then be applied inside shard_map over that axis; grads become
+    # per-device partials that the step's psum/psum_scatter completes.
+    shard_bwd_axis: Optional[Tuple[str, int]] = None
 
     @property
     def feature_dim(self) -> int:
@@ -180,7 +186,7 @@ class KPlanesFeatureField:
         )
         per_proj = multiscale_lookup_multiproj(
             tables_by_proj, coords_by_proj, gather_dtype,
-            self.bwd_mode, self.fwd_mode,
+            self.bwd_mode, self.fwd_mode, self.shard_bwd_axis,
         )
         features = []
         for s in range(n_scales):

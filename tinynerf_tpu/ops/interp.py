@@ -18,6 +18,7 @@ coord -1 maps to index 0, coord +1 maps to index (res - 1).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -50,12 +51,19 @@ def _to_index_space(c, res):
 _SCATTER_FAST_ROWS = 512096
 _SCATTER_CLIFF_TOOLCHAIN = ("0.9.0", "0.0.34")  # (jax, libtpu) when measured
 
-# Round-4 re-measurement (tools/bench_octbuild.py, quiet-chip caveat in
-# BASELINE.md): today's XLA builds the 128^3x4 oct table in ~7.7 ms — NOT
-# the ~21 ms in the round-3 record — and the Pallas MXU builder only TIES it
-# in context (lookup fwd+bwd 28.0 vs 27.7 ms).  The kernels stay in-tree,
-# tested and opt-in via this flag; the XLA form remains the default.
-_OCT_BUILD_PALLAS = False
+# Cell-pack build formulation: "stack" (slice-stack-reshape), "pad"
+# (interior-pad dilation), or "pallas" (MXU one-hot kernel,
+# ops/octbuild.py).  The winner has FLIPPED with every toolchain move:
+# round 3 measured stack ~21 ms/128^3x4 and adopted pad; round 4 re-measured
+# pad at ~7.7 ms with the Pallas kernel only tying; round 5 (jax 0.9.0 /
+# libtpu 0.0.34) has pad at ~63 ms on that same grid and STACK at ~11 ms —
+# 5.6x — flipping the cobafa roster build from 148 ms to ~30
+# (tools/probe_octbuild_mode.py; drift-anchored in bench.py).  All three
+# forms are bit-identical to octbuild.build_oct_ref and stay in-tree.
+# 2-D (quad) builds are measured separately — their F is lane-wide (>= 32),
+# a different regime from the C=4-8 oct case.
+_OCT_BUILD_MODE = "stack"  # "stack" | "pad" | "pallas"
+_QUAD_BUILD_MODE = "pad"  # same values
 
 # Which sorted-window payload "auto" resolves to on TPU (ops/table_grad.py):
 # "sorted_bf16" halves the pipeline's permutation-gather bytes by carrying
@@ -326,18 +334,26 @@ def _interleave_shifts(t, shifts, axes):
 def _build_quad(table, gather_dtype):
     """[r0, r1, F] -> [(r0-1)*(r1-1), 4F]; corner order (00, 01, 10, 11).
 
-    A Pallas relayout kernel exists (ops/octbuild.py, opt-in via
-    _OCT_BUILD_PALLAS); round-4 measurement has the XLA interior-pad form at
-    parity on today's toolchain (BASELINE.md round 4)."""
-    if _OCT_BUILD_PALLAS and jax.default_backend() == "tpu":
+    Formulation per _QUAD_BUILD_MODE (all bit-identical to
+    octbuild.build_quad_ref; the winner is toolchain-dependent — see the
+    knob's comment)."""
+    if _QUAD_BUILD_MODE == "pallas" and jax.default_backend() == "tpu":
         from .octbuild import build_quad_pallas
 
         return _materialize(build_quad_pallas(table, gather_dtype))
     t = table.astype(gather_dtype)
     r0, r1, f = table.shape
-    q = _interleave_shifts(
-        t, [(0, 0), (0, 1), (1, 0), (1, 1)], (0, 1)
-    )  # [r0-1, r1-1, 4, F]
+    if _QUAD_BUILD_MODE == "stack":
+        from .octbuild import CORNERS_2D
+
+        q = jnp.stack(
+            [t[dx : dx + r0 - 1, dy : dy + r1 - 1, :] for dx, dy in CORNERS_2D],
+            axis=-2,
+        )  # [r0-1, r1-1, 4, F]
+    else:
+        q = _interleave_shifts(
+            t, [(0, 0), (0, 1), (1, 0), (1, 1)], (0, 1)
+        )  # [r0-1, r1-1, 4, F]
     return _materialize(q.reshape((r0 - 1) * (r1 - 1), 4 * f))
 
 
@@ -403,24 +419,34 @@ def _build_oct(table, gather_dtype):
     """[r0, r1, r2, F] -> [(r0-1)(r1-1)(r2-1), 8F]; corner order matches
     _corners_3d (z fastest, then y, then x).
 
-    A Pallas MXU relayout kernel exists (ops/octbuild.py, opt-in via
-    _OCT_BUILD_PALLAS); the round-3 record's ~21 ms/128^3 for this XLA form
-    did not reproduce in round 4 (~7.7 ms on today's toolchain; the kernel
-    ties in context — BASELINE.md round 4)."""
-    if _OCT_BUILD_PALLAS and jax.default_backend() == "tpu":
+    Formulation per _OCT_BUILD_MODE (all bit-identical to
+    octbuild.build_oct_ref; the winner is toolchain-dependent — see the
+    knob's comment)."""
+    if _OCT_BUILD_MODE == "pallas" and jax.default_backend() == "tpu":
         from .octbuild import build_oct_pallas
 
         return _materialize(build_oct_pallas(table, gather_dtype))
     t = table.astype(gather_dtype)
     r0, r1, r2, f = table.shape
-    q = _interleave_shifts(
-        t,
-        [
-            (0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
-            (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1),
-        ],
-        (0, 1, 2),
-    )  # [r0-1, r1-1, r2-1, 8, F]
+    if _OCT_BUILD_MODE == "stack":
+        from .octbuild import CORNERS_3D
+
+        q = jnp.stack(
+            [
+                t[dx : dx + r0 - 1, dy : dy + r1 - 1, dz : dz + r2 - 1, :]
+                for dx, dy, dz in CORNERS_3D
+            ],
+            axis=-2,
+        )  # [r0-1, r1-1, r2-1, 8, F]
+    else:
+        q = _interleave_shifts(
+            t,
+            [
+                (0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+                (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1),
+            ],
+            (0, 1, 2),
+        )  # [r0-1, r1-1, r2-1, 8, F]
     return _materialize(q.reshape((r0 - 1) * (r1 - 1) * (r2 - 1), 8 * f))
 
 
@@ -644,6 +670,90 @@ def _pullback_scales(fine, tables):
     return tuple(grads)
 
 
+def _down_transpose_axis0_band(g):
+    """Transpose of `_upsample2x_axis0` restricted to a row band.
+
+    `g` holds fine-grid gradient rows covering GLOBAL rows [s, s+m-1] with s
+    EVEN; returns the coarse-row contributions this band can compute:
+    out[c] = g[2c] + 0.5*(g[2c-1] + g[2c+1]) with out-of-band terms dropped
+    (they are computed by the neighboring band — or do not exist at the
+    global edge — and every consumer SUMS the per-band outputs, so dropped
+    terms are exactly the neighbor's contribution, never a loss).  Output
+    covers global coarse rows [s/2, s/2 + m//2] (length m//2 + 1).  With
+    s == 0 and odd m this is the exact full transpose, so the same function
+    serves the full (column) axis."""
+    m = g.shape[0]
+    no = m // 2 + 1
+    even = g[::2]  # g[2c]
+    odd = g[1::2]  # g[2c+1]
+    zero = jnp.zeros_like(g[:1])
+    if even.shape[0] < no:
+        even = jnp.concatenate([even, zero], axis=0)
+    up = jnp.concatenate([zero, odd], axis=0)  # g[2c-1]
+    dn = odd if odd.shape[0] == no else jnp.concatenate([odd, zero], axis=0)
+    return even + 0.5 * (up + dn)
+
+
+def _down_transpose_axis1_full(g):
+    t = jnp.swapaxes(g, 0, 1)
+    return jnp.swapaxes(_down_transpose_axis0_band(t), 0, 1)
+
+
+def sharded_pullback_unit(r_fine: int, resolutions) -> int:
+    """Row-band granularity for the sharded pullback: bands must start on a
+    multiple of 2^k_max so every halving level keeps even global starts."""
+    k_max = max(
+        int(round(math.log2((r_fine - 1) // (r - 1)))) for r in resolutions
+    )
+    return 2 ** k_max
+
+
+def _sharded_pullback(gq_by_proj, tables_by_proj, r_fine, f_tot, shard_axis):
+    """Mesh-sharded fused-fine pullback (must run INSIDE shard_map).
+
+    Each device holds the quad gradient of ITS sample shard over the full
+    table.  Instead of every device running the table-sized
+    _fine_from_quad + upsample-transpose chain on its partial (replicated
+    work that stops scaling — BASELINE.md round-4 v5e-8 projection), the
+    device-summed FINE gradient is `psum_scatter`'d over padded rows, each
+    device pulls back only its row band through the (linear) transpose
+    chain, and the band lands in a zero-filled full-shape master gradient.
+    The per-device outputs SUM to the exact replicated gradient (pullback
+    is linear; band-boundary rows carry partial values that the reduction
+    completes), so the downstream psum / psum_scatter needs no change."""
+    axis_name, n_dev = shard_axis
+    unit = sharded_pullback_unit(
+        r_fine, [t.shape[0] for t in tables_by_proj[0]]
+    )
+    band = -(-r_fine // (unit * n_dev)) * unit  # rows per device
+    rows_pad = band * n_dev
+    s0 = jax.lax.axis_index(axis_name) * band
+    out = []
+    for p, gq in enumerate(gq_by_proj):
+        fine = _fine_from_quad(gq, r_fine, f_tot)
+        fine = jnp.pad(fine, ((0, rows_pad - r_fine), (0, 0), (0, 0)))
+        loc = jax.lax.psum_scatter(
+            fine, axis_name, scatter_dimension=0, tiled=True
+        )  # [band, r_fine, f_tot] — the SUMMED fine grad, rows [s0, s0+band)
+        grads = []
+        off = 0
+        for t in tables_by_proj[p]:
+            f = t.shape[-1]
+            k = int(round(math.log2((r_fine - 1) // (t.shape[0] - 1))))
+            g = loc[..., off : off + f]
+            off += f
+            for _ in range(k):
+                g = _down_transpose_axis1_full(g)
+                g = _down_transpose_axis0_band(g)
+            start = s0 // (2 ** k)  # integer: band % 2^k == 0
+            pad_rows = rows_pad // (2 ** k) + (1 if k else 0)
+            full = jnp.zeros((pad_rows, t.shape[1], f), jnp.float32)
+            full = jax.lax.dynamic_update_slice(full, g, (start, 0, 0))
+            grads.append(full[: t.shape[0]])
+        out.append(tuple(grads))
+    return tuple(out)
+
+
 def _fine_from_quad(gq, r_fine, f_tot):
     """[n_cells, 4*f_tot] corner-major quad gradient -> [r, r, f_tot].
 
@@ -717,34 +827,46 @@ bilinear_lookup_multiscale.defvjp(_multiscale_fwd, _multiscale_bwd)
 # --------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def multiscale_lookup_multiproj(
     tables_by_proj,  # tuple over projections of tuples over scales
     coords_by_proj,  # tuple over projections of [..., 2] coords in [-1,1]
     gather_dtype=jnp.bfloat16,
     bwd_impl="auto",
     fwd_impl="perscale",
+    shard_axis=None,
 ):
     """Per-projection multiscale lookups with one shared (batched) backward.
 
     Returns a tuple over projections of [..., n_scales * F] features —
     value-identical to calling bilinear_lookup_multiscale per projection
     (same fwd_impl semantics); gradients are identical up to f32 summation
-    order."""
+    order.
+
+    `shard_axis`: optional `(mesh_axis_name, n_devices)`.  When set, the
+    call MUST run inside shard_map over that axis with each device holding
+    its own sample shard; the backward then psum_scatters the device-summed
+    fine gradient and each device pulls back only its row band
+    (_sharded_pullback) — the returned per-device table grads SUM across
+    the mesh to the replicated gradient (feed them to psum/psum_scatter
+    exactly like unsharded grads)."""
     return tuple(
         _multiscale_value(t, c, gather_dtype, fwd_impl)
         for t, c in zip(tables_by_proj, coords_by_proj)
     )
 
 
-def _multiproj_fwd(tables_by_proj, coords_by_proj, gather_dtype, bwd_impl, fwd_impl):
+def _multiproj_fwd(
+    tables_by_proj, coords_by_proj, gather_dtype, bwd_impl, fwd_impl, shard_axis
+):
     out = multiscale_lookup_multiproj(
-        tables_by_proj, coords_by_proj, gather_dtype, bwd_impl, fwd_impl
+        tables_by_proj, coords_by_proj, gather_dtype, bwd_impl, fwd_impl,
+        shard_axis,
     )
     return out, (tables_by_proj, coords_by_proj)
 
 
-def _multiproj_bwd(gather_dtype, bwd_impl, fwd_impl, res, gs):
+def _multiproj_bwd(gather_dtype, bwd_impl, fwd_impl, shard_axis, res, gs):
     from .bitonic import packed_bits_ok
     from .table_grad import table_grad_sorted
 
@@ -798,11 +920,18 @@ def _multiproj_bwd(gather_dtype, bwd_impl, fwd_impl, res, gs):
             for p in range(n_proj)
         ]
 
+    coord_grads = tuple(jnp.zeros_like(c) for c in coords_by_proj)
+    if shard_axis is not None:
+        return (
+            _sharded_pullback(
+                gq_by_proj, tables_by_proj, r_fine, f_tot, shard_axis
+            ),
+            coord_grads,
+        )
     table_grads = []
     for p in range(n_proj):
         fine = _fine_from_quad(gq_by_proj[p], r_fine, f_tot)
         table_grads.append(_pullback_scales(fine, tables_by_proj[p]))
-    coord_grads = tuple(jnp.zeros_like(c) for c in coords_by_proj)
     return tuple(table_grads), coord_grads
 
 

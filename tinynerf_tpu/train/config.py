@@ -111,6 +111,17 @@ class TrainConfig:
     # fields with no declared tables.  NOTE: checkpoints carry the sharded
     # optimizer-state layout — resume with the same mesh size + setting.
     shard_tables: bool = False
+    # extend sharded-table training into the backward itself (the round-4
+    # projection's named remainder): the fused K-Planes backward
+    # psum_scatters the device-summed FINE table gradient and each device
+    # pulls back only its row band through the upsample transpose
+    # (ops/interp.py _sharded_pullback), so the table-sized pullback compute
+    # divides by the mesh instead of replicating.  Per-device grads become
+    # partials that the existing reductions sum exactly — equality with the
+    # replicated step is enforced in tests/test_zero.py.  Requires
+    # shard_tables, a multi-device mesh, and the fused K-Planes lookup;
+    # silently no-ops otherwise.
+    shard_bwd: bool = False
     # marching strategy: "auto" picks the empty-space-skipping marcher
     # (core/skipmarch.py) whenever the scene supports it AND the demand
     # estimate leaves ample step budget (early training = dense); "dense" /

@@ -32,6 +32,7 @@ TPU redesign:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 from dataclasses import asdict
@@ -329,6 +330,24 @@ def make_train_step(
     assert cfg.sample_cap % n_dev == 0
     local_cap = cfg.sample_cap // n_dev
     use_skip = march == "skip"
+
+    if (
+        cfg.shard_bwd
+        and cfg.shard_tables
+        and n_dev > 1
+        and getattr(renderer.field, "lookup_mode", None) == "fused"
+        and hasattr(renderer.field, "shard_bwd_axis")
+    ):
+        # shard the fused backward's fine-gradient pullback over the mesh
+        # (ops/interp.py _sharded_pullback); the step body below runs the
+        # field inside shard_map over DATA_AXIS, which is what the sharded
+        # VJP requires
+        renderer = dataclasses.replace(
+            renderer,
+            field=dataclasses.replace(
+                renderer.field, shard_bwd_axis=(DATA_AXIS, n_dev)
+            ),
+        )
 
     has_reg = cfg.method == "kplanes" and (
         cfg.tv_reg_alpha != 0.0 or cfg.l1_reg_alpha != 0.0

@@ -83,17 +83,16 @@ def main() -> None:
     def lookup_grad(t, c):
         return jax.grad(lambda tt: jnp.sum(lookup_fwd(tt, c)))(t)
 
-    for use_pallas in (False, True):
-        interp._OCT_BUILD_PALLAS = use_pallas
+    for mode in ("pad", "stack", "pallas"):
+        interp._OCT_BUILD_MODE = mode
         f_fwd = jax.jit(lookup_fwd)
         f_grad = jax.jit(lookup_grad)
         for shape in [(128, 128, 128, 4), (64, 64, 64, 6)]:
             t = jnp.asarray(rng.normal(size=shape).astype(np.float32))
             ms_f = timeit(f_fwd, t, coords) * 1e3
             ms_g = timeit(f_grad, t, coords) * 1e3
-            print(f"lookup {str(shape):>20} pallas={use_pallas} "
+            print(f"lookup {str(shape):>20} mode={mode} "
                   f"fwd={ms_f:7.2f} ms fwd+bwd={ms_g:7.2f} ms", flush=True)
-    interp._OCT_BUILD_PALLAS = True
 
     for shape in [(513, 513, 96), (513, 513, 32), (257, 257, 32)]:
         t = jnp.asarray(rng.normal(size=shape).astype(np.float32))

@@ -65,6 +65,10 @@ def main() -> None:
                         help="ZeRO-1 sharded-table training on multi-device "
                              "meshes: scatter table grads, shard Adam state, "
                              "all_gather updated tables (parallel/zero.py)")
+    parser.add_argument("--shard_bwd", action="store_true",
+                        help="with --shard_tables: also shard the fused "
+                             "K-Planes backward's fine-gradient pullback over "
+                             "the mesh (ops/interp.py _sharded_pullback)")
     args = parser.parse_args()
 
     seed = int(os.environ.get("SEED", 0))
@@ -114,6 +118,7 @@ def main() -> None:
         max_bucket=args.max_bucket,
         remat_field=None if args.remat == "auto" else (args.remat == "on"),
         shard_tables=args.shard_tables,
+        shard_bwd=args.shard_bwd,
     )
     if args.render_only:
         from tinynerf_tpu.train.loop import render_only
