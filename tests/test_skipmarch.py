@@ -168,6 +168,21 @@ def test_train_step_skip_march_mode():
         occupancy_res=16, steps=2,
     )
     renderer = build_renderer(cfg, scene_scale=1.0, bg_color=np.ones(3, np.float32))
+    # shrink the field: the dense-vs-skip equality under test is size-
+    # agnostic, and the default 513^2 tables cost minutes of CPU compile
+    # per step variant
+    import dataclasses
+
+    small = KPlanesFeatureField(feature_dim_per_plane=8, resolutions=(9, 17, 33))
+    renderer = dataclasses.replace(
+        renderer,
+        field=small,
+        sigma_decoder=OpacityDecoder(feature_dim=small.feature_dim),
+        rgb_decoder=ColorDecoder(
+            n_freqs=8, in_features=small.feature_dim, hidden_features=16,
+            hidden_layers=2,
+        ),
+    )
     optimizer = make_optimizer(cfg)
     params0 = renderer.init(jax.random.PRNGKey(0))
     occ = random_occ(renderer, 16, 0.1, 8)

@@ -91,6 +91,41 @@ def main() -> None:
             ms = timeit(permgather, payload, perm)
             print(f"perm gather {name}:        {ms:7.2f} ms", flush=True)
 
+            # flat-table variant: fold the projection dim into a global row
+            # id so the gather is a plain [P*n, L] row take — the same
+            # lowering as the forward's fast per-scale gathers — instead of
+            # a batched take_along_axis
+            @jax.jit
+            def permgather_flat(pl, pm):
+                flat = pl.reshape(p * n, pl.shape[-1])
+                gidx = pm + (jnp.arange(p, dtype=pm.dtype) * n)[:, None]
+                return jnp.take(flat, gidx.reshape(-1), axis=0)
+
+            ms = timeit(permgather_flat, payload, perm)
+            print(f"perm gather {name} FLAT:   {ms:7.2f} ms", flush=True)
+
+        # bf16 payload bitcast-packed into f32 lanes: halves bytes while
+        # keeping the gather row f32-shaped (dodges the narrow-dtype rate
+        # penalty if that is what slows the bf16 row)
+        payload16 = jnp.asarray(
+            rng.normal(size=(p, n, 128)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        packed32 = jax.lax.bitcast_convert_type(
+            payload16.reshape(p, n, 64, 2), jnp.float32
+        )  # [p, n, 64]
+
+        @jax.jit
+        def permgather_cast(pl, pm):
+            flat = pl.reshape(p * n, pl.shape[-1])
+            gidx = pm + (jnp.arange(p, dtype=pm.dtype) * n)[:, None]
+            rows = jnp.take(flat, gidx.reshape(-1), axis=0)
+            return jax.lax.bitcast_convert_type(
+                rows.reshape(p, n, 64, 1), jnp.bfloat16
+            ).reshape(p, n, 128)
+
+        ms = timeit(permgather_cast, packed32, perm)
+        print(f"perm gather bf16 PACKED[64L f32]: {ms:7.2f} ms", flush=True)
+
         # full pipeline + kernel-only, both payloads
         for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
             tg = jax.jit(
