@@ -62,8 +62,14 @@ _SCATTER_CLIFF_TOOLCHAIN = ("0.9.0", "0.0.34")  # (jax, libtpu) when measured
 # forms are bit-identical to octbuild.build_oct_ref and stay in-tree.
 # 2-D (quad) builds are measured separately — their F is lane-wide (>= 32),
 # a different regime from the C=4-8 oct case.
-_OCT_BUILD_MODE = "stack"  # "stack" | "pad" | "pallas"
-_QUAD_BUILD_MODE = "pad"  # same values
+# Round-5 roster measurements (tools/probe_octbuild_mode.py, quiet chip,
+# cobafa 7-grid oct roster in ONE jit): pad 148.7 ms, stack 17.25, pallas
+# 12.28 — oct defaults to the Pallas kernel on TPU ("pallas" falls back to
+# the stack form elsewhere).  Quad roster (K-Planes 129/257/513 + fused
+# 513x96): pad 33.1, stack 14.1, pallas 13.0 standalone — stack adopted
+# (the Pallas margin is within dispatch noise at these widths).
+_OCT_BUILD_MODE = "pallas"  # "stack" | "pad" | "pallas"
+_QUAD_BUILD_MODE = "stack"  # same values
 
 # Which sorted-window payload "auto" resolves to on TPU (ops/table_grad.py):
 # "sorted_bf16" halves the pipeline's permutation-gather bytes by carrying
@@ -343,7 +349,7 @@ def _build_quad(table, gather_dtype):
         return _materialize(build_quad_pallas(table, gather_dtype))
     t = table.astype(gather_dtype)
     r0, r1, f = table.shape
-    if _QUAD_BUILD_MODE == "stack":
+    if _QUAD_BUILD_MODE in ("stack", "pallas"):  # pallas off-TPU -> stack
         from .octbuild import CORNERS_2D
 
         q = jnp.stack(
@@ -428,7 +434,7 @@ def _build_oct(table, gather_dtype):
         return _materialize(build_oct_pallas(table, gather_dtype))
     t = table.astype(gather_dtype)
     r0, r1, r2, f = table.shape
-    if _OCT_BUILD_MODE == "stack":
+    if _OCT_BUILD_MODE in ("stack", "pallas"):  # pallas off-TPU -> stack
         from .octbuild import CORNERS_3D
 
         q = jnp.stack(
