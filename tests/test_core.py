@@ -144,7 +144,10 @@ def test_occupancy_update_jits():
 # ------------------------------------------------------------ end-to-end render
 
 def _make_renderer(method="vanilla", n_samples=32, with_occupancy=True):
-    field, sigma_dec, rgb_dec = make_model(method)
+    # quarter-capacity fields: these tests exercise the RENDERER's semantics
+    # (shapes, packing, compositing, gradients), which are field-size
+    # agnostic; full-size tables cost tens of seconds of CPU compile each
+    field, sigma_dec, rgb_dec = make_model(method, field_scale=0.25)
     marcher = RayMarcherAABB(AABB, n_samples=n_samples, near=0.1)
     occ = OccupancyGrid.cube(16, marcher.step_size) if with_occupancy else None
     return NerfRenderer(

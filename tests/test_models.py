@@ -46,11 +46,11 @@ def test_vanilla_combo():
 
 
 def test_kplanes_combo():
-    _check_combo(KPlanesFeatureField())
+    _check_combo(KPlanesFeatureField(resolutions=(33, 65, 129)))
 
 
 def test_cobafa_combo():
-    _check_combo(make_model("cobafa")[0])
+    _check_combo(make_model("cobafa", field_scale=0.25)[0])
 
 
 def test_posenc_shapes():
@@ -79,7 +79,7 @@ def test_truncated_exp_fwd_bwd():
 
 
 def test_kplanes_regularizers_nonnegative():
-    field = KPlanesFeatureField()
+    field = KPlanesFeatureField(resolutions=(33, 65, 129))
     params = field.init(KEY)
     assert float(field.loss_tv(params)) >= 0
     assert float(field.loss_l1(params)) >= 0
@@ -88,7 +88,7 @@ def test_kplanes_regularizers_nonnegative():
 
 
 def test_kplanes_explicit_decoders():
-    field = KPlanesFeatureField()
+    field = KPlanesFeatureField(resolutions=(33, 65, 129))
     feats = field.apply(field.init(KEY), X)
     op = KPlanesExplicitOpacityDecoder(field.feature_dim)
     sigma = op.apply(op.init(KEY), feats)
@@ -111,7 +111,7 @@ def test_sawtooth_range():
 
 
 def test_cobafa_dropout_modes():
-    field = make_model("cobafa")[0]
+    field = make_model("cobafa", field_scale=0.25)[0]
     params = field.init(KEY)
     eval_out = field.apply(params, X)
     eval_out2 = field.apply(params, X)

@@ -21,7 +21,8 @@ KEY = jax.random.PRNGKey(0)
 
 
 def _renderer(n_samples=16):
-    field, sd, rd = make_model("kplanes")
+    # quarter capacity: sharding semantics are field-size agnostic
+    field, sd, rd = make_model("kplanes", field_scale=0.25)
     marcher = RayMarcherAABB(AABB, n_samples=n_samples, near=0.1)
     return NerfRenderer(
         field=field,

@@ -30,6 +30,10 @@ def tiny_cfg(tmp_path, **kw):
         occupancy_update_every=2,
         ray_buckets=(1, 2),
         seed=1,
+        # quarter-capacity fields (structurally identical: same scale count,
+        # nesting, feature dims — models/registry.py) keep these end-to-end
+        # tests about the LOOP, not about compiling 33M-param tables on CPU
+        field_scale=0.25,
     )
     defaults.update(kw)
     return TrainConfig(**defaults)

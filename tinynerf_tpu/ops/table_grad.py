@@ -263,7 +263,15 @@ def table_grad_sorted(
         if fp_pad > fp:
             parts.append(jnp.zeros((p, n, fp_pad - fp), jnp.float32))
     packed = jnp.concatenate(parts, axis=-1)
-    packed_s = jnp.take_along_axis(packed, perm[:, :, None], axis=1)
+    # flat global-row-id take instead of batched take_along_axis: folds the
+    # projection dim into the row id so the permutation lowers like the
+    # forward's fast per-scale row gathers (measured 33.6 -> 31.0 ms at the
+    # flagship budget, tools/probe_bwd_stages.py round 5; bit-identical rows)
+    flat = packed.reshape(p * n, packed.shape[-1])
+    gidx = perm + (jnp.arange(p, dtype=perm.dtype) * n)[:, None]
+    packed_s = jnp.take(flat, gidx.reshape(-1), axis=0).reshape(
+        p, n, packed.shape[-1]
+    )
     # DMA slack: fixed-size aligned chunks may read past the last valid row
     packed_s = jnp.pad(packed_s, ((0, 0), (0, _CHUNK), (0, 0)))
     out = windowed_accumulate(

@@ -97,6 +97,11 @@ class TrainConfig:
     # utilization between bucket steps
     bucket_overfill: float = 1.15
     early_termination: float = 1e-4
+    # field spatial-capacity scale (models/registry.py): scales table
+    # resolutions / MLP width while preserving field structure (scale count,
+    # feature dims, K-Planes' 2r-1 nesting).  1.0 = the reference
+    # configuration; small values (tests, smoke runs) compile in seconds.
+    field_scale: float = 1.0
     # truncated_exp forward clamp (ops/trunc_exp.py): True = clamp the
     # FORWARD at exp(15) too (inf-guard; A/B-neutral on quality, BASELINE.md);
     # False = the reference's unclamped forward (src/models.py:47)

@@ -95,7 +95,9 @@ except ImportError:  # pragma: no cover
 def build_renderer(cfg: TrainConfig, scene_scale: float, bg_color) -> NerfRenderer:
     """Wire field/decoders/marcher/contraction/occupancy from config
     (reference wiring: src/run.py:130-182)."""
-    field, sigma_dec, rgb_dec = make_model(cfg.method, fwd_clamp=cfg.fwd_clamp)
+    field, sigma_dec, rgb_dec = make_model(
+        cfg.method, fwd_clamp=cfg.fwd_clamp, field_scale=cfg.field_scale
+    )
 
     if cfg.scene_type == "unbounded":
         marcher = RayMarcherUnbounded(

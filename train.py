@@ -69,6 +69,10 @@ def main() -> None:
                         help="with --shard_tables: also shard the fused "
                              "K-Planes backward's fine-gradient pullback over "
                              "the mesh (ops/interp.py _sharded_pullback)")
+    parser.add_argument("--field_scale", type=float, default=1.0,
+                        help="scale the field's spatial capacity (table "
+                             "resolutions / MLP width) preserving structure; "
+                             "1.0 = reference configuration")
     args = parser.parse_args()
 
     seed = int(os.environ.get("SEED", 0))
@@ -119,6 +123,7 @@ def main() -> None:
         remat_field=None if args.remat == "auto" else (args.remat == "on"),
         shard_tables=args.shard_tables,
         shard_bwd=args.shard_bwd,
+        field_scale=args.field_scale,
     )
     if args.render_only:
         from tinynerf_tpu.train.loop import render_only
