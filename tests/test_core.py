@@ -218,7 +218,11 @@ def test_render_packed_overflow_flags_rays():
 
 
 def test_render_gradients_flow():
-    r = _make_renderer(method="kplanes", n_samples=8)
+    # vanilla: the renderer-level grad-flow guard is field-agnostic, and the
+    # K-Planes VJP stack has its own numeric suites (test_interp,
+    # test_table_grad) plus the end-to-end test_train_learns_smoke; compiling
+    # grad-of-render for the multiscale lookup here cost 45 s of the fast tier
+    r = _make_renderer(method="vanilla", n_samples=8)
     params = r.init(KEY)
     occ_state = r.occupancy.init_state()
     rays_o = jnp.zeros((8, 3))

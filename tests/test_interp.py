@@ -92,15 +92,20 @@ def test_oct_lookup_exact_vs_plain():
     pts = jnp.concatenate(
         [pts, jnp.array([[1.0, 1.0, 1.0], [-1.0, -1.0, -1.0]])]
     )
-    ref = trilinear_lookup(table, pts)
-    oct_v = trilinear_lookup_oct(table, pts, jnp.float32)
-    np.testing.assert_allclose(np.asarray(oct_v), np.asarray(ref), atol=1e-6)
+    g = jax.random.normal(jax.random.PRNGKey(10), (pts.shape[0], table.shape[-1]))
 
-    g = jax.random.normal(jax.random.PRNGKey(10), ref.shape)
-    g_ref = jax.grad(lambda t: jnp.sum(trilinear_lookup(t, pts) * g))(table)
-    g_oct = jax.grad(
-        lambda t: jnp.sum(trilinear_lookup_oct(t, pts, jnp.float32) * g)
-    )(table)
+    # one value_and_grad(has_aux) compile per variant covers fwd AND bwd
+    def loss_ref(t):
+        out = trilinear_lookup(t, pts)
+        return jnp.sum(out * g), out
+
+    def loss_oct(t):
+        out = trilinear_lookup_oct(t, pts, jnp.float32)
+        return jnp.sum(out * g), out
+
+    (_, ref), g_ref = jax.value_and_grad(loss_ref, has_aux=True)(table)
+    (_, oct_v), g_oct = jax.value_and_grad(loss_oct, has_aux=True)(table)
+    np.testing.assert_allclose(np.asarray(oct_v), np.asarray(ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(g_oct), np.asarray(g_ref), atol=1e-5)
 
 
@@ -166,20 +171,20 @@ def test_kplanes_fused_equals_per_scale():
     x = jax.random.uniform(jax.random.PRNGKey(1), (500, 3), minval=-1, maxval=1)
 
     ref_field = replace(field, lookup_mode="quad")
-    np.testing.assert_allclose(
-        np.asarray(field.apply(params, x)),
-        np.asarray(ref_field.apply(params, x)),
-        atol=2e-5,
-    )
 
+    # one value_and_grad(has_aux) compile per variant covers fwd AND bwd —
+    # separate fwd programs doubled this test's CPU compile time
     def loss_fused(p):
-        return jnp.sum(field.apply(p, x) ** 2)
+        feats = field.apply(p, x)
+        return jnp.sum(feats**2), feats
 
     def loss_quad(p):
-        return jnp.sum(ref_field.apply(p, x) ** 2)
+        feats = ref_field.apply(p, x)
+        return jnp.sum(feats**2), feats
 
-    g_f = jax.grad(loss_fused)(params)
-    g_q = jax.grad(loss_quad)(params)
+    (_, f_f), g_f = jax.value_and_grad(loss_fused, has_aux=True)(params)
+    (_, f_q), g_q = jax.value_and_grad(loss_quad, has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_q), atol=2e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_q)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
 

@@ -259,7 +259,10 @@ def test_decay_mask_derived_from_field_declarations():
     from tinynerf_tpu.train.loop import _decay_mask
 
     for method, table_key in (("kplanes", "planes"), ("cobafa", "basis")):
-        field, _, _ = make_model(method, field_scale=0.25)
+        # smallest valid scale: the mask derivation only reads pytree keys,
+        # but init() is kept so declared table_keys/mlp_keys are checked
+        # against the REAL param structure
+        field, _, _ = make_model(method, field_scale=0.125)
         params = {
             "field": field.init(__import__("jax").random.PRNGKey(0)),
             "sigma": {"mlp": [(jnp.ones((2, 2)), jnp.zeros(2))]},
