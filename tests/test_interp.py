@@ -71,15 +71,20 @@ def test_quad_lookup_exact_vs_plain():
     pts = jnp.concatenate(
         [pts, jnp.array([[-1.0, -1.0], [1.0, 1.0], [1.0, -1.0], [0.0, 1.0]])]
     )
-    ref = bilinear_lookup(table, pts)
-    quad = bilinear_lookup_quad(table, pts, jnp.float32)
-    np.testing.assert_allclose(np.asarray(quad), np.asarray(ref), atol=1e-6)
+    g = jax.random.normal(jax.random.PRNGKey(8), (pts.shape[0], table.shape[-1]))
 
-    g = jax.random.normal(jax.random.PRNGKey(8), ref.shape)
-    g_ref = jax.grad(lambda t: jnp.sum(bilinear_lookup(t, pts) * g))(table)
-    g_quad = jax.grad(
-        lambda t: jnp.sum(bilinear_lookup_quad(t, pts, jnp.float32) * g)
-    )(table)
+    # one value_and_grad(has_aux) compile per variant covers fwd AND bwd
+    def loss_ref(t):
+        out = bilinear_lookup(t, pts)
+        return jnp.sum(out * g), out
+
+    def loss_quad(t):
+        out = bilinear_lookup_quad(t, pts, jnp.float32)
+        return jnp.sum(out * g), out
+
+    (_, ref), g_ref = jax.value_and_grad(loss_ref, has_aux=True)(table)
+    (_, quad), g_quad = jax.value_and_grad(loss_quad, has_aux=True)(table)
+    np.testing.assert_allclose(np.asarray(quad), np.asarray(ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(g_quad), np.asarray(g_ref), atol=1e-5)
     # bf16 forward still close
     bf = bilinear_lookup_quad(table, pts, jnp.bfloat16)

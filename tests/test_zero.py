@@ -52,11 +52,12 @@ def test_tv_partial_grads_sum_to_full():
     params = field.init(KEY)
     n = 8
     g_full = jax.grad(field.loss_tv)(params)
+    # ONE jitted grad with k as a traced arg (exactly how the ZeRO step
+    # calls it, k = axis_index) — 8 eager grad traversals cost ~10 s here
+    g_fn = jax.jit(jax.grad(lambda p, k: field.loss_tv_partial(p, k, n)))
     g_sum = None
     for k in range(n):
-        g_k = jax.grad(lambda p: field.loss_tv_partial(p, jnp.int32(k), n))(
-            params
-        )
+        g_k = g_fn(params, jnp.int32(k))
         g_sum = g_k if g_sum is None else jax.tree_util.tree_map(
             jnp.add, g_sum, g_k
         )
