@@ -326,3 +326,24 @@ def test_occupancy_query_trilinear_matches_reference_semantics():
     near = OccupancyGrid.cube(8, step_size=0.1, threshold=0.5,
                               decay=0.5, interp="nearest")
     np.testing.assert_array_equal(np.asarray(near.query(state, pts[2:])), [1.0])
+
+
+def test_render_packed_per_ray_dir_branch_matches():
+    """rgb_dir_branch="ray" (forward-only serving optimization) must render
+    the same images as the default per-sample branch."""
+    r = _make_renderer(n_samples=8)
+    params = r.init(KEY)
+    occ_state = r.occupancy.init_state()
+    rays_o = jnp.zeros((16, 3))
+    rays_d = jax.random.normal(jax.random.PRNGKey(11), (16, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    ship = r.render_packed(params, occ_state, rays_o, rays_d, cap=64)
+    ray = r.render_packed(
+        params, occ_state, rays_o, rays_d, cap=64, rgb_dir_branch="ray"
+    )
+    np.testing.assert_allclose(
+        np.asarray(ray.rgb), np.asarray(ship.rgb), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ray.ray_valid), np.asarray(ship.ray_valid)
+    )

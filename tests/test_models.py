@@ -128,3 +128,37 @@ def test_registry_dims():
         assert rd.in_features == dim
     with pytest.raises(NotImplementedError):
         make_model("nope")
+
+
+def test_color_decoders_per_ray_matches_apply():
+    """apply_per_ray (forward-only serving variant: per-RAY direction branch
+    + f32 row gather) must reproduce apply() on the equivalent gathered-dirs
+    input, for both decoder families and both compute dtypes."""
+    from tinynerf_tpu.models.kplanes import KPlanesExplicitColorDecoder
+    from tinynerf_tpu.models.vanilla import ColorDecoder
+
+    n_rays, cap, fdim = 13, 97, 8
+    key = jax.random.PRNGKey(0)
+    d_ray = jax.random.normal(key, (n_rays, 3))
+    d_ray = d_ray / jnp.linalg.norm(d_ray, axis=-1, keepdims=True)
+    seg = jnp.sort(jax.random.randint(jax.random.PRNGKey(1), (cap,), 0, n_rays))
+    feats = jax.random.normal(jax.random.PRNGKey(2), (cap, fdim))
+
+    for dec in (
+        ColorDecoder(n_freqs=8, in_features=fdim, hidden_features=16,
+                     hidden_layers=2),
+        KPlanesExplicitColorDecoder(feature_dim=fdim, n_freqs=8, hidden_dim=16),
+    ):
+        params = dec.init(jax.random.PRNGKey(3))
+        for cdt, atol in ((jnp.float32, 1e-6), (jnp.bfloat16, 5e-3)):
+            ship = dec.apply(params, feats, d_ray[seg], cdt)
+            ray = dec.apply_per_ray(params, feats, d_ray, seg, cdt)
+            np.testing.assert_allclose(
+                np.asarray(ray), np.asarray(ship), atol=atol,
+                err_msg=f"{type(dec).__name__} {cdt}",
+            )
+        # tuple-of-pieces feed (how the renderer passes field features)
+        pieces = (feats[:, :3], feats[:, 3:])
+        ship = dec.apply(params, pieces, d_ray[seg], jnp.float32)
+        ray = dec.apply_per_ray(params, pieces, d_ray, seg, jnp.float32)
+        np.testing.assert_allclose(np.asarray(ray), np.asarray(ship), atol=1e-6)

@@ -276,8 +276,17 @@ class NerfRenderer:
         key: Optional[jax.Array] = None,
         march: str = "dense",
         skip_grid: Optional[jax.Array] = None,
+        rgb_dir_branch: str = "sample",
     ) -> RenderOutput:
         """Fixed-capacity packed rendering.
+
+        `rgb_dir_branch="ray"` computes the rgb decoder's direction branch
+        (posenc + dir first-layer contraction) once per RAY and row-gathers
+        it to the samples — a FORWARD-ONLY optimization for serving/eval
+        (fwd 7.0 vs 12.5 ms at the flagship budget, but its backward is a
+        cap-row segment reduction that loses to the ship's MXU weight-grad
+        matmul: tools/probe_posenc_ray.py).  Training uses the default
+        "sample" branch.
 
         `march="dense"` evaluates the validity mask at all n_samples marched
         positions (the reference's semantics, brute force).  `march="skip"`
@@ -359,7 +368,13 @@ class NerfRenderer:
             )
             w_cap = w_dense.reshape(total)[safe_idx] * valid_cap
 
-        rgbs_cap = self.rgb_decoder.apply(params["rgb"], feats_cap, dirs_cap, self.compute_dtype)
+        if rgb_dir_branch == "ray" and hasattr(self.rgb_decoder, "apply_per_ray"):
+            rgbs_cap = self.rgb_decoder.apply_per_ray(
+                params["rgb"], feats_cap, rays_d,
+                jnp.where(is_pad, 0, seg_ids), self.compute_dtype,
+            )
+        else:
+            rgbs_cap = self.rgb_decoder.apply(params["rgb"], feats_cap, dirs_cap, self.compute_dtype)
 
         # --- per-ray reduction (the reference's index_add_, as a segment sum;
         # pad rows land in segment n_rays and are sliced away)

@@ -33,7 +33,7 @@ from ..ops.interp import (
 )
 from ..ops.trunc_exp import truncated_exp
 from .encodings import posenc_dim, positional_encoding
-from .mlp import linear_apply, linear_init, mlp_apply, mlp_apply_split, mlp_init
+from .mlp import linear_apply, linear_init, mlp_apply, mlp_apply_split, mlp_apply_split_per_ray, mlp_init
 
 # coordinate pairs used per plane, in order: (x,y), (x,z), (y,z)
 DIMENSION_PAIRS: Tuple[Tuple[int, int], ...] = ((0, 1), (0, 2), (1, 2))
@@ -331,6 +331,22 @@ class KPlanesExplicitColorDecoder:
             features = jnp.concatenate(features, axis=-1)
         pieces = (positional_encoding(rays_d, self.n_freqs), rays_d, features)
         basis = mlp_apply_split(params["mlp"], pieces, compute_dtype)
+        basis = basis.reshape(*features.shape[:-1], 3, self.feature_dim)
+        out = jnp.sum(features[..., None, :].astype(compute_dtype) * basis, axis=-1)
+        return jax.nn.sigmoid(out.astype(jnp.float32))
+
+    def apply_per_ray(
+        self, params, features, d_ray: jax.Array, seg: jax.Array,
+        compute_dtype=jnp.float32,
+    ) -> jax.Array:
+        """Forward-only serving variant: per-RAY direction branch + f32 row
+        gather (see ColorDecoder.apply_per_ray / tools/probe_posenc_ray.py)."""
+        if isinstance(features, tuple):
+            features = jnp.concatenate(features, axis=-1)
+        ray_pieces = (positional_encoding(d_ray, self.n_freqs), d_ray)
+        basis = mlp_apply_split_per_ray(
+            params["mlp"], ray_pieces, seg, (features,), compute_dtype
+        )
         basis = basis.reshape(*features.shape[:-1], 3, self.feature_dim)
         out = jnp.sum(features[..., None, :].astype(compute_dtype) * basis, axis=-1)
         return jax.nn.sigmoid(out.astype(jnp.float32))

@@ -118,3 +118,51 @@ def mlp_apply_split(
     for layer in params[1:-1]:
         x = jax.nn.relu(linear_apply(layer, x, compute_dtype))
     return linear_apply(params[-1], x, compute_dtype)
+
+
+def mlp_apply_split_per_ray(
+    params: List[dict], ray_pieces, seg, pieces, compute_dtype=jnp.float32
+) -> jax.Array:
+    """`mlp_apply_split` where the LEADING first-layer pieces are constant
+    per ray: their partial contraction is computed once per ray (n_rays
+    rows) and row-gathered to the sample rows, instead of recomputing it at
+    every sample.  `ray_pieces` are [n_rays, d_i] in first-layer weight
+    order, `seg` maps sample row -> ray row, `pieces` are the remaining
+    per-sample pieces.
+
+    FORWARD-ONLY optimization (serving / eval): at the flagship packed
+    budget (49,152 rays -> 819,200 samples) this runs the rgb decoder fwd in
+    7.0 ms vs 12.5 ship, but fwd+bwd LOSES (28.0 vs 21.5 ms) because the
+    gather's backward is a cap-row segment reduction while the ship's
+    first-layer weight grad is one MXU matmul (tools/probe_posenc_ray.py).
+    The training path keeps `mlp_apply_split`.
+
+    The per-ray partial sum stays f32 and is gathered as f32 rows, so the
+    result matches `mlp_apply_split`'s f32 accumulation tree exactly up to
+    matmul tiling (tested at 1e-5 on the sigmoid output).
+    """
+    first = params[0]
+    off = 0
+    acc_ray = None
+    for p in ray_pieces:
+        w = first["w"][off : off + p.shape[-1]].astype(compute_dtype)
+        term = jnp.dot(
+            p.astype(compute_dtype), w, preferred_element_type=jnp.float32
+        )
+        acc_ray = term if acc_ray is None else acc_ray + term
+        off += p.shape[-1]
+    acc = jnp.take(acc_ray, seg, axis=0)
+    for p in pieces:
+        w = first["w"][off : off + p.shape[-1]].astype(compute_dtype)
+        acc = acc + jnp.dot(
+            p.astype(compute_dtype), w, preferred_element_type=jnp.float32
+        )
+        off += p.shape[-1]
+    assert off == first["w"].shape[0], (off, first["w"].shape)
+    x = (acc + first["b"].astype(jnp.float32)).astype(compute_dtype)
+    if len(params) == 1:
+        return x
+    x = jax.nn.relu(x)
+    for layer in params[1:-1]:
+        x = jax.nn.relu(linear_apply(layer, x, compute_dtype))
+    return linear_apply(params[-1], x, compute_dtype)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.trunc_exp import truncated_exp
 from .encodings import posenc_dim, positional_encoding
-from .mlp import mlp_apply, mlp_apply_split, mlp_init
+from .mlp import mlp_apply, mlp_apply_split, mlp_apply_split_per_ray, mlp_init
 
 
 @dataclass(frozen=True)
@@ -110,4 +110,22 @@ class ColorDecoder:
         feat = features if isinstance(features, tuple) else (features,)
         pieces = (positional_encoding(rays_d, self.n_freqs), rays_d) + feat
         out = mlp_apply_split(params["mlp"], pieces, compute_dtype)
+        return jax.nn.sigmoid(out.astype(jnp.float32))
+
+    def apply_per_ray(
+        self, params, features, d_ray: jax.Array, seg: jax.Array,
+        compute_dtype=jnp.float32,
+    ) -> jax.Array:
+        """Forward-only serving variant: the direction branch (posenc + dir
+        first-layer contraction) is computed once per RAY (d_ray [n_rays, 3])
+        and row-gathered to the sample rows via `seg` — directions are
+        constant per ray, so this does ~16.7x fewer posenc rows at the cost
+        of one f32 row gather (measured fwd 7.0 vs 12.5 ms; the training
+        path keeps `apply`, whose fwd+bwd is faster —
+        tools/probe_posenc_ray.py)."""
+        feat = features if isinstance(features, tuple) else (features,)
+        ray_pieces = (positional_encoding(d_ray, self.n_freqs), d_ray)
+        out = mlp_apply_split_per_ray(
+            params["mlp"], ray_pieces, seg, feat, compute_dtype
+        )
         return jax.nn.sigmoid(out.astype(jnp.float32))

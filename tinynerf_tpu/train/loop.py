@@ -652,6 +652,9 @@ def make_render_chunk_packed(
         out = renderer.render_packed(
             params, occ_state, rays_o, rays_d, local_cap,
             march=march, skip_grid=grid[0] if use_grid else None,
+            # forward-only trace: per-RAY rgb direction branch (decoder fwd
+            # 7.0 vs 12.5 ms at the flagship budget, tools/probe_posenc_ray)
+            rgb_dir_branch="ray",
         )
         return out.rgb, out.ray_valid > 0.0
 
